@@ -1,0 +1,164 @@
+"""Attention, feed-forward (GEGLU), and the basic transformer block.
+
+Matches diffusers' ``Attention`` + ``BasicTransformerBlock`` numerics
+(/root/reference/diffusers/src/diffusers/models/attention_processor.py:262
+AttnProcessor2_0 path, /root/reference/diffusers/src/diffusers/models/attention.py)
+— SD-1.5 flavor: no qkv bias, bias on to_out, pre-LayerNorm blocks, GEGLU FF.
+
+The inner scaled-dot-product attention dispatches to either plain XLA
+(softmax in fp32 — great for short sequences / cross-attention over 77 text
+tokens) or the Pallas TPU flash-attention kernel in
+``blobctrl_tpu.ops.flash_attention`` (for the long 8k-token self-attention
+that the double-width latent layout produces).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from blobctrl_tpu.nn import layers
+
+Array = jax.Array
+
+# Attention backend: "xla" | "pallas" | "auto".
+# "auto" uses the Pallas flash kernel for long self-attention on TPU and XLA
+# otherwise. Set via set_attention_backend(); read statically at trace time.
+_ATTENTION_BACKEND = "auto"
+# Sequence length at or above which "auto" routes to the flash kernel.
+_FLASH_MIN_SEQ = 1024
+
+
+def set_attention_backend(backend: str):
+    global _ATTENTION_BACKEND
+    assert backend in ("xla", "pallas", "auto"), backend
+    _ATTENTION_BACKEND = backend
+
+
+def get_attention_backend() -> str:
+    return _ATTENTION_BACKEND
+
+
+def sdpa_xla(q: Array, k: Array, v: Array, scale: float,
+             mask: Optional[Array] = None) -> Array:
+    """Plain XLA attention. q,k,v: (B, H, S, D). fp32 softmax accumulation."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+
+
+def _use_flash(q_seq: int, kv_seq: int, head_dim: int, has_mask: bool) -> bool:
+    if _ATTENTION_BACKEND == "xla":
+        return False
+    if has_mask:
+        return False
+    backend = jax.default_backend()
+    if backend != "tpu":
+        return False
+    if _ATTENTION_BACKEND == "pallas":
+        return True
+    return q_seq >= _FLASH_MIN_SEQ and kv_seq >= _FLASH_MIN_SEQ
+
+
+def multi_head_attention(q: Array, k: Array, v: Array, heads: int,
+                         mask: Optional[Array] = None) -> Array:
+    """q: (B, Sq, C), k/v: (B, Sk, C) -> (B, Sq, C)."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    scale = 1.0 / (d ** 0.5)
+
+    def split(x, s):
+        return x.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
+    if _use_flash(sq, sk, d, mask is not None):
+        from blobctrl_tpu.ops import flash_attention
+        out = flash_attention.flash_attention(qh, kh, vh, scale=scale)
+    else:
+        out = sdpa_xla(qh, kh, vh, scale, mask)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
+
+
+# ---------------------------------------------------------------------------
+# diffusers-style Attention module
+# ---------------------------------------------------------------------------
+
+def init_attention(key, query_dim: int, heads: int, cross_dim: Optional[int] = None,
+                   out_bias: bool = True):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    kv_dim = cross_dim if cross_dim is not None else query_dim
+    return {
+        "to_q": layers.init_linear(kq, query_dim, query_dim, use_bias=False),
+        "to_k": layers.init_linear(kk, kv_dim, query_dim, use_bias=False),
+        "to_v": layers.init_linear(kv, kv_dim, query_dim, use_bias=False),
+        "to_out": layers.init_linear(ko, query_dim, query_dim, use_bias=out_bias),
+    }
+
+
+def attention(params, x: Array, heads: int, context: Optional[Array] = None,
+              mask: Optional[Array] = None) -> Array:
+    ctx = x if context is None else context
+    q = layers.linear(params["to_q"], x)
+    k = layers.linear(params["to_k"], ctx)
+    v = layers.linear(params["to_v"], ctx)
+    out = multi_head_attention(q, k, v, heads, mask)
+    return layers.linear(params["to_out"], out)
+
+
+# ---------------------------------------------------------------------------
+# FeedForward (GEGLU)
+# ---------------------------------------------------------------------------
+
+def init_feed_forward(key, dim: int, mult: int = 4):
+    k1, k2 = jax.random.split(key)
+    inner = dim * mult
+    return {
+        "proj_in": layers.init_linear(k1, dim, inner * 2),
+        "proj_out": layers.init_linear(k2, inner, dim),
+    }
+
+
+def feed_forward(params, x: Array) -> Array:
+    h = layers.linear(params["proj_in"], x)
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * layers.gelu(gate)
+    return layers.linear(params["proj_out"], h)
+
+
+# ---------------------------------------------------------------------------
+# BasicTransformerBlock: self-attn -> cross-attn -> GEGLU FF (pre-LN)
+# ---------------------------------------------------------------------------
+
+def init_transformer_block(key, dim: int, heads: int, cross_dim: Optional[int]):
+    """cross_dim=None matches diffusers: NO second attention at all (the
+    BlobNet configuration — blobnet.py:517 passes cross_attention_dim=None,
+    which makes BasicTransformerBlock build only norm1/attn1/norm3/ff)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": layers.init_norm(dim),
+        "attn1": init_attention(k1, dim, heads),
+        "norm3": layers.init_norm(dim),
+        "ff": init_feed_forward(k3, dim),
+    }
+    if cross_dim is not None:
+        p["norm2"] = layers.init_norm(dim)
+        p["attn2"] = init_attention(k2, dim, heads, cross_dim=cross_dim)
+    return p
+
+
+def transformer_block(params, x: Array, heads: int,
+                      context: Optional[Array] = None) -> Array:
+    h = layers.layer_norm(params["norm1"], x)
+    x = x + attention(params["attn1"], h, heads)
+    if "attn2" in params:
+        h = layers.layer_norm(params["norm2"], x)
+        x = x + attention(params["attn2"], h, heads, context=context)
+    h = layers.layer_norm(params["norm3"], x)
+    x = x + feed_forward(params["ff"], h)
+    return x
