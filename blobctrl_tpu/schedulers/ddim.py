@@ -1,0 +1,87 @@
+"""DDIM sampler, restructured TPU-first: all per-step scalars are precomputed
+host-side into coefficient tables; the jitted step is two multiplies and an
+add, indexable from inside lax.fori_loop.
+
+Numerics match diffusers DDIMScheduler (eta=0, epsilon prediction,
+clip_sample=False — the SD-1.5 configuration;
+/root/reference/diffusers/src/diffusers/schedulers/scheduling_ddim.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blobctrl_tpu.schedulers import common
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSchedule:
+    timesteps: np.ndarray        # (S,) int64, descending — host side
+    timesteps_jax: Array         # (S,) on device
+    # x_{t-1} = c_x0[i] * x0 + c_eps[i] * eps ; x0 = (x - s_t[i] * eps)/a_t[i]
+    a_t: Array                   # (S,) sqrt(alphas_cumprod[t])
+    s_t: Array                   # (S,) sqrt(1 - alphas_cumprod[t])
+    c_x0: Array                  # (S,)
+    c_eps: Array                 # (S,)
+    init_noise_sigma: float = 1.0
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.timesteps)
+
+
+def make(num_inference_steps: int, num_train_timesteps: int = 1000,
+         beta_start: float = 0.00085, beta_end: float = 0.012,
+         beta_schedule: str = "scaled_linear", spacing: str = "leading_ddim",
+         steps_offset: int = 1, set_alpha_to_one: bool = False) -> DDIMSchedule:
+    betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
+    acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
+    ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
+                               spacing, steps_offset)
+
+    final_acp = 1.0 if set_alpha_to_one else float(acp[0])
+    prev_ts = ts - num_train_timesteps // num_inference_steps
+    acp_t = acp[ts]
+    acp_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], final_acp)
+
+    a_t = np.sqrt(acp_t)
+    s_t = np.sqrt(1.0 - acp_t)
+    c_x0 = np.sqrt(acp_prev)
+    c_eps = np.sqrt(1.0 - acp_prev)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return DDIMSchedule(timesteps=ts, timesteps_jax=jnp.asarray(ts),
+                        a_t=f32(a_t), s_t=f32(s_t), c_x0=f32(c_x0),
+                        c_eps=f32(c_eps))
+
+
+def step(sched: DDIMSchedule, i: Array, model_output: Array, sample: Array) -> Array:
+    """One DDIM step; i is the step index (0-based, traced or static)."""
+    a_t = sched.a_t[i]
+    s_t = sched.s_t[i]
+    x0 = (sample - s_t * model_output.astype(jnp.float32)) / a_t
+    return (sched.c_x0[i] * x0 + sched.c_eps[i] * model_output.astype(jnp.float32)
+            ).astype(sample.dtype)
+
+
+def add_noise(sched_acp_sqrt: Array, sched_1m_acp_sqrt: Array, t: Array,
+              sample: Array, noise: Array) -> Array:
+    """Forward process q(x_t | x_0) for training: tables indexed by train t."""
+    a = sched_acp_sqrt[t][:, None, None, None]
+    s = sched_1m_acp_sqrt[t][:, None, None, None]
+    return a * sample + s * noise
+
+
+def training_tables(num_train_timesteps: int = 1000, beta_start: float = 0.00085,
+                    beta_end: float = 0.012, beta_schedule: str = "scaled_linear"):
+    """(sqrt_acp, sqrt_1m_acp) lookup tables for add_noise during training."""
+    betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
+    acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
+    return jnp.asarray(np.sqrt(acp), jnp.float32), jnp.asarray(np.sqrt(1 - acp), jnp.float32)

@@ -1,0 +1,101 @@
+"""Scheduler parity: full synthetic denoising trajectories vs the vendored
+torch schedulers (DDIM, UniPC) — same pseudo model outputs, compare samples."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blobctrl_tpu.schedulers import ddim as jddim
+from blobctrl_tpu.schedulers import unipc as junipc
+from tests.oracles import assert_close, import_diffusers
+
+torch = pytest.importorskip("torch")
+
+SHAPE = (1, 4, 8, 8)
+
+
+def fake_model_outputs(num_steps, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randn(*SHAPE).astype(np.float32) * 0.3 for _ in range(num_steps)]
+
+
+def test_ddim_trajectory_matches_diffusers():
+    import_diffusers()
+    from diffusers import DDIMScheduler
+    steps = 10
+    ref_sched = DDIMScheduler(beta_start=0.00085, beta_end=0.012,
+                              beta_schedule="scaled_linear", steps_offset=1,
+                              clip_sample=False, set_alpha_to_one=False)
+    ref_sched.set_timesteps(steps)
+    sched = jddim.make(steps)
+    np.testing.assert_array_equal(sched.timesteps, ref_sched.timesteps.numpy())
+
+    outs = fake_model_outputs(steps)
+    x_ref = torch.from_numpy(np.ones(SHAPE, np.float32))
+    x = jnp.asarray(np.ones(SHAPE, np.float32))
+    for i, t in enumerate(ref_sched.timesteps):
+        x_ref = ref_sched.step(torch.from_numpy(outs[i]), t, x_ref).prev_sample
+        x = jddim.step(sched, i, jnp.asarray(outs[i]), x)
+    assert_close(np.asarray(x), x_ref.numpy(), atol=1e-4, rtol=1e-3, name="ddim")
+
+
+@pytest.mark.parametrize("steps,order,solver_type", [
+    (10, 2, "bh2"), (10, 2, "bh1"), (7, 3, "bh2"), (3, 2, "bh2"), (50, 2, "bh2"),
+])
+def test_unipc_trajectory_matches_diffusers(steps, order, solver_type):
+    import_diffusers()
+    from diffusers import UniPCMultistepScheduler
+    ref_sched = UniPCMultistepScheduler(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        solver_order=order, solver_type=solver_type)
+    ref_sched.set_timesteps(steps)
+    sched = junipc.make(steps, solver_order=order, solver_type=solver_type)
+    np.testing.assert_array_equal(sched.timesteps, ref_sched.timesteps.numpy())
+
+    outs = fake_model_outputs(steps, seed=steps + order)
+    x_ref = torch.from_numpy(np.ones(SHAPE, np.float32))
+    x = jnp.asarray(np.ones(SHAPE, np.float32))
+    state = junipc.init_state(sched, x)
+    for i, t in enumerate(ref_sched.timesteps):
+        x_ref = ref_sched.step(torch.from_numpy(outs[i]), t, x_ref).prev_sample
+        state = junipc.step(sched, jnp.asarray(i), jnp.asarray(outs[i]), state)
+        if solver_type == "bh1" and i == steps - 2:
+            # the reference NaNs on the final bh1 step (B_h=-inf with zero
+            # final sigma); we fix that — compare up to the last finite step
+            break
+    got = junipc.final_corrected_sample(state)
+    if solver_type == "bh1":
+        # also check our final step stays finite where the reference NaNs
+        state2 = junipc.step(sched, jnp.asarray(steps - 1),
+                             jnp.asarray(outs[steps - 1]), state)
+        assert np.isfinite(np.asarray(state2[0])).all()
+    assert_close(np.asarray(got), x_ref.numpy(), atol=5e-4, rtol=5e-3,
+                 name=f"unipc{steps}-o{order}-{solver_type}")
+
+
+def test_unipc_step_jits_in_fori_loop():
+    steps = 8
+    sched = junipc.make(steps)
+    outs = jnp.stack([jnp.asarray(o) for o in fake_model_outputs(steps)])
+    x0 = jnp.ones(SHAPE, jnp.float32)
+
+    @jax.jit
+    def run(x0, outs):
+        state = junipc.init_state(sched, x0)
+
+        def body(i, state):
+            return junipc.step(sched, i, outs[i], state)
+
+        state = jax.lax.fori_loop(0, steps, body, state)
+        return junipc.final_corrected_sample(state)
+
+    got = run(x0, outs)
+
+    # eager reference
+    state = junipc.init_state(sched, x0)
+    for i in range(steps):
+        state = junipc.step(sched, jnp.asarray(i), outs[i], state)
+    assert_close(np.asarray(got), np.asarray(junipc.final_corrected_sample(state)),
+                 atol=1e-6, name="unipc_jit")
