@@ -20,6 +20,7 @@ def _load_reference_utils():
     pytest.importorskip("cv2")
     pytest.importorskip("einops")
     # stub deps the oracle imports but our tests never exercise
+    import importlib.machinery
     import types
     for name in ("torchvision", "torchvision.transforms",
                  "torchvision.transforms.functional", "matplotlib"):
@@ -27,7 +28,9 @@ def _load_reference_utils():
             try:
                 __import__(name)
             except ImportError:
-                sys.modules[name] = types.ModuleType(name)
+                stub = types.ModuleType(name)
+                stub.__spec__ = importlib.machinery.ModuleSpec(name, None)
+                sys.modules[name] = stub
     if not hasattr(sys.modules.get("matplotlib"), "cm"):
         sys.modules["matplotlib"].cm = types.SimpleNamespace()
         sys.modules["matplotlib.cm"] = sys.modules["matplotlib"].cm
