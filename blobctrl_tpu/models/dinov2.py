@@ -1,0 +1,140 @@
+"""DINOv2 vision transformer (the BlobCtrl appearance encoder;
+transformers Dinov2Model numerics).
+
+The pipeline uses DINOv2-large's pooler_output — the final-layernormed CLS
+token — as a (1, 1024) appearance embedding per foreground object
+(/root/reference/blobctrl/pipelines/pipeline_blobnet.py:690-703).
+
+Architecture: patch conv (14x14/14) + CLS + interpolated position embeddings;
+pre-LN blocks with per-channel LayerScale; final LN; pooled = CLS.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blobctrl_tpu.nn import layers
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DINOv2Config:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    image_size: int = 518  # checkpoint-native grid for position embeddings
+
+    @staticmethod
+    def large() -> "DINOv2Config":
+        return DINOv2Config()
+
+
+def _attn(params, x: Array, heads: int) -> Array:
+    b, s, c = x.shape
+    d = c // heads
+    q = layers.linear(params["q"], x)
+    k = layers.linear(params["k"], x)
+    v = layers.linear(params["v"], x)
+    split = lambda t: t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k),
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, split(v))
+    return layers.linear(params["out"], out.transpose(0, 2, 1, 3).reshape(b, s, c))
+
+
+def interpolate_pos_embed(pos: Array, src_grid: int, dst_hw: Tuple[int, int]) -> Array:
+    """(1+N, C) position table -> (1+gh*gw, C), CLS untouched, bicubic over
+    the patch grid (transformers Dinov2Embeddings.interpolate_pos_encoding)."""
+    gh, gw = dst_hw
+    if src_grid * src_grid + 1 == 1 + gh * gw and src_grid == gh == gw:
+        return pos
+    cls_tok, patch = pos[:1], pos[1:]
+    c = patch.shape[-1]
+    grid = patch.reshape(src_grid, src_grid, c)
+    resized = jax.image.resize(grid.astype(jnp.float32), (gh, gw, c), "bicubic")
+    return jnp.concatenate([cls_tok, resized.reshape(gh * gw, c).astype(pos.dtype)], 0)
+
+
+def apply(params, cfg: DINOv2Config, pixel_values: Array):
+    """pixel_values: (B, H, W, 3) normalized (ImageNet mean/std).
+    Returns (last_hidden_state (B, 1+N, C), pooler_output (B, C))."""
+    b, h, w, _ = pixel_values.shape
+    p = cfg.patch_size
+    x = layers.conv2d(params["patch_embed"], pixel_values, stride=p, padding=0)
+    gh, gw = x.shape[1], x.shape[2]
+    x = x.reshape(b, gh * gw, -1)
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    src_grid = cfg.image_size // p
+    pos = interpolate_pos_embed(params["position_embeddings"], src_grid, (gh, gw))
+    x = x + pos.astype(x.dtype)
+
+    eps = cfg.layer_norm_eps
+    for layer in params["layers"]:
+        hme = layers.layer_norm(layer["norm1"], x, eps)
+        x = x + layer["ls1"] * _attn(layer["attn"], hme, cfg.num_heads)
+        hme = layers.layer_norm(layer["norm2"], x, eps)
+        hme = layers.linear(layer["mlp"]["fc1"], hme)
+        hme = layers.gelu(hme)
+        hme = layers.linear(layer["mlp"]["fc2"], hme)
+        x = x + layer["ls2"] * hme
+
+    x = layers.layer_norm(params["layernorm"], x, eps)
+    return x, x[:, 0]
+
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def preprocess(images_uint8: np.ndarray, size: int = 224) -> np.ndarray:
+    """AutoImageProcessor equivalent: (B,H,W,3) uint8 RGB -> resize shortest
+    side to 256 (bilinear), center-crop 224, scale 1/255, normalize."""
+    import jax.numpy as jnp_
+    from blobctrl_tpu.nn import layers as L
+    x = jnp_.asarray(images_uint8, jnp_.float32) / 255.0
+    b, h, w, _ = x.shape
+    short = 256
+    if h < w:
+        nh, nw = short, max(1, round(w * short / h))
+    else:
+        nh, nw = max(1, round(h * short / w)), short
+    x = L.bilinear_resize(x, nh, nw)
+    top, left = (nh - size) // 2, (nw - size) // 2
+    x = x[:, top:top + size, left:left + size, :]
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def init(key, cfg: DINOv2Config):
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.num_layers))
+    c, m = cfg.hidden_size, cfg.intermediate_size
+    n_pos = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    p = {
+        "patch_embed": layers.init_conv(next(keys), cfg.patch_size, cfg.patch_size, 3, c),
+        "cls_token": jax.random.normal(next(keys), (1, c)) * 0.02,
+        "position_embeddings": jax.random.normal(next(keys), (n_pos, c)) * 0.02,
+        "layers": [],
+        "layernorm": layers.init_norm(c),
+    }
+    for _ in range(cfg.num_layers):
+        p["layers"].append({
+            "norm1": layers.init_norm(c),
+            "attn": {n: layers.init_linear(next(keys), c, c)
+                     for n in ("q", "k", "v", "out")},
+            "ls1": jnp.ones((c,)) * 1e-5,
+            "norm2": layers.init_norm(c),
+            "mlp": {"fc1": layers.init_linear(next(keys), c, m),
+                    "fc2": layers.init_linear(next(keys), m, c)},
+            "ls2": jnp.ones((c,)) * 1e-5,
+        })
+    return p

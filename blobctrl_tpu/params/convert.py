@@ -233,7 +233,19 @@ def convert_dinov2(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             continue
         if path[0] == "encoder":
             path = path[1:]
-        # attention.attention.{query,key,value} -> attn.{q,k,v}
+        if path[0] == "layer":
+            # encoder.layer.N.attention.attention.query -> layers.N.attn.q
+            path = ["layers"] + path[1:]
+            if len(path) > 3 and path[2] == "attention":
+                name = {"query": "q", "key": "k", "value": "v"}.get(path[4] if path[3] == "attention" else "", None)
+                if path[3] == "attention":
+                    path = path[:2] + ["attn", name] + path[5:]
+                elif path[3] == "output":  # attention.output.dense
+                    path = path[:2] + ["attn", "out"] + path[5:]
+            if len(path) > 2 and path[2] in ("layer_scale1", "layer_scale2"):
+                ls = "ls1" if path[2] == "layer_scale1" else "ls2"
+                _set(tree, path[:2] + [ls], _vec(tensor))
+                continue
         new_path, arr = _convert_param(path, tensor)
         _set(tree, new_path, arr)
     return tree
