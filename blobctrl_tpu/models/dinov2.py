@@ -97,21 +97,28 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def preprocess(images_uint8: np.ndarray, size: int = 224) -> np.ndarray:
-    """AutoImageProcessor equivalent: (B,H,W,3) uint8 RGB -> resize shortest
-    side to 256 (bilinear), center-crop 224, scale 1/255, normalize."""
-    import jax.numpy as jnp_
-    from blobctrl_tpu.nn import layers as L
-    x = jnp_.asarray(images_uint8, jnp_.float32) / 255.0
-    b, h, w, _ = x.shape
-    short = 256
-    if h < w:
-        nh, nw = short, max(1, round(w * short / h))
-    else:
-        nh, nw = max(1, round(h * short / w)), short
-    x = L.bilinear_resize(x, nh, nw)
-    top, left = (nh - size) // 2, (nw - size) // 2
-    x = x[:, top:top + size, left:left + size, :]
+def preprocess(images_uint8: np.ndarray, size: int = 224,
+               short_edge: Optional[int] = None) -> np.ndarray:
+    """Host-side AutoImageProcessor (BitImageProcessor) equivalent:
+    (B,H,W,3) uint8 RGB -> PIL bicubic resize shortest side to `short_edge`
+    (256 for the published DINOv2 processors), center-crop `size`, 1/255,
+    ImageNet normalize."""
+    from PIL import Image
+    if short_edge is None:
+        short_edge = 256 if size == 224 else size
+    out = []
+    for img in np.asarray(images_uint8, np.uint8):
+        pil = Image.fromarray(img)
+        w, h = pil.size
+        if h < w:
+            nh, nw = short_edge, max(1, round(w * short_edge / h))
+        else:
+            nh, nw = max(1, round(h * short_edge / w)), short_edge
+        pil = pil.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        pil = pil.crop((left, top, left + size, top + size))
+        out.append(np.asarray(pil, np.float32) / 255.0)
+    x = np.stack(out)
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
