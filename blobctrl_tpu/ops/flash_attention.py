@@ -1,0 +1,140 @@
+"""Pallas TPU flash attention (fused QK^T -> online softmax -> V).
+
+Replaces the reference's CUDA SDPA flash attention
+(/root/reference/diffusers/src/diffusers/models/attention_processor.py:262,
+AttnProcessor2_0) for the long self-attention sequences that BlobCtrl's
+double-width latent layout produces (8192 tokens at the top UNet level):
+XLA would otherwise materialize S^2 score matrices in HBM (~2 GB per step at
+level 0), which is exactly the bandwidth the kernel avoids.
+
+Design:
+  * grid (batch*heads, q_blocks, kv_blocks); kv innermost, sequential —
+    VMEM scratch (acc, m, l) carries the online-softmax state across kv
+    blocks; output written on the last kv step.
+  * fp32 accumulation for scores/softmax/output; bf16 IO.
+  * head_dim padded to the 128-lane width outside the kernel (zeros do not
+    change QK^T, and padded V columns are sliced off afterwards).
+  * non-causal, no mask (BlobCtrl uses none); cross-attention over 77 text
+    tokens stays on the XLA path where it is already optimal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)          # (BQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)                   # (BQ, 128) bcast
+    alpha = jnp.exp(m_prev - m_new)                      # (BQ, 128), rows equal
+    p = jnp.exp(s - m_new[:, :1])                        # (BQ, BK)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+
+    pv = jax.lax.dot_general(p, v_ref[0].astype(jnp.float32),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
+                                             "interpret"))
+def flash_attention(q: Array, k: Array, v: Array, scale: float,
+                    block_q: int = 512, block_kv: int = 512,
+                    interpret: bool = False) -> Array:
+    """q: (B, H, Sq, D), k/v: (B, H, Sk, D) -> (B, H, Sq, D).
+
+    Sq/Sk are padded to block multiples internally (padded kv columns are
+    masked out by giving them -inf scores via zero keys? no — zero keys give
+    score 0, a *valid* value, so kv padding instead requires Sk % block == 0;
+    we assert and fall back to smaller blocks when needed)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(sk, 128))
+    # kv padding would corrupt softmax (zero scores are valid); require
+    # divisibility, shrinking blocks if necessary.
+    while sk % block_kv != 0:
+        block_kv //= 2
+    assert block_kv >= 128, f"kv seq {sk} not tileable"
+    q_pad = _round_up(sq, block_q) - sq
+    dp = _round_up(d, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    sqp = sq + q_pad
+
+    qp = qp.reshape(b * h, sqp, dp)
+    kp = kp.reshape(b * h, sk, dp)
+    vp = vp.reshape(b * h, sk, dp)
+
+    grid = (b * h, sqp // block_q, sk // block_kv)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, dp), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_kv, dp), lambda bh, iq, ik: (bh, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dp), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sqp * sk * dp,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * sqp * sk,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    out = out.reshape(b, h, sqp, dp)
+    return out[:, :, :sq, :d]

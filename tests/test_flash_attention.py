@@ -1,0 +1,47 @@
+"""Flash-attention kernel parity vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blobctrl_tpu.nn import attention
+from blobctrl_tpu.ops import flash_attention as fa
+from tests.oracles import assert_close
+
+RNG = np.random.RandomState(5)
+
+
+@pytest.mark.parametrize("b,h,s,d", [
+    (1, 2, 256, 40),     # padded head_dim, multiple kv blocks
+    (2, 2, 512, 64),
+    (1, 1, 384, 80),     # seq not a multiple of block_q
+    (1, 2, 128, 160),
+])
+def test_flash_matches_xla(b, h, s, d):
+    q = RNG.randn(b, h, s, d).astype(np.float32)
+    k = RNG.randn(b, h, s, d).astype(np.float32)
+    v = RNG.randn(b, h, s, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = attention.sdpa_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale)
+    got = fa.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                             scale=scale, block_q=128, block_kv=128,
+                             interpret=True)
+    assert_close(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-4,
+                 name=f"flash_{b}_{h}_{s}_{d}")
+
+
+def test_flash_bf16_io():
+    q = (RNG.randn(1, 2, 256, 40) * 0.5).astype(np.float32)
+    k = (RNG.randn(1, 2, 256, 40) * 0.5).astype(np.float32)
+    v = (RNG.randn(1, 2, 256, 40) * 0.5).astype(np.float32)
+    scale = 0.158
+    ref = attention.sdpa_xla(jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+                             jnp.asarray(v, jnp.bfloat16), scale)
+    got = fa.flash_attention(jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+                             jnp.asarray(v, jnp.bfloat16), scale=scale,
+                             block_q=128, block_kv=128, interpret=True)
+    assert_close(np.asarray(got, np.float32), np.asarray(ref, np.float32),
+                 atol=2e-2, rtol=2e-2, name="flash_bf16")
