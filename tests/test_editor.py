@@ -1,0 +1,80 @@
+"""Blob editor state machine vs reference semantics (blobctrl_app.py ops)."""
+
+import numpy as np
+import pytest
+
+from blobctrl_tpu.blob import editor
+
+
+def test_point_in_ellipse():
+    e = ((100.0, 100.0), (40.0, 80.0), 0.0)
+    assert editor.is_point_in_ellipse((100, 100), e)
+    assert editor.is_point_in_ellipse((118, 100), e)
+    assert not editor.is_point_in_ellipse((125, 100), e)
+    assert editor.is_point_in_ellipse((100, 138), e)
+    assert not editor.is_point_in_ellipse((100, 145), e)
+
+
+def test_move_resize_rotate_and_undo():
+    ed = editor.BlobEditor(height=512, width=512)
+    e0 = ((256.0, 256.0), (100.0, 150.0), 10.0)
+    ed.init_from_ellipse(e0)
+
+    e1 = ed.move((20, -10))
+    assert e1[0] == (276.0, 246.0) and e1[1] == e0[1]
+
+    e2, warn = ed.resize(1.2, resize_type=0)
+    assert not warn
+    np.testing.assert_allclose(e2[1], (120.0, 180.0))
+
+    e3 = ed.rotate(30)
+    assert e3[2] == 40.0
+
+    assert len(ed.entries) == 4
+    ed.undo()
+    assert ed.current[2] == 10.0
+    ed.reset()
+    assert ed.current == e0
+
+
+def test_resize_too_small_is_inflated():
+    ed = editor.BlobEditor(height=512, width=512)
+    ed.init_from_ellipse(((256.0, 256.0), (60.0, 60.0), 0.0))
+    e, warn = ed.resize(0.1, resize_type=0)
+    # pi*(d1/2)*(d2/2) >= 1600 enforced (blobctrl_app.py:552 min_blob_area)
+    area = np.pi * e[1][0] / 2 * e[1][1] / 2
+    assert area >= 1600.0 - 1e-6
+    assert warn
+
+
+def test_resize_too_big_is_shrunk():
+    ed = editor.BlobEditor(height=512, width=512)
+    ed.init_from_ellipse(((256.0, 256.0), (400.0, 500.0), 0.0))
+    e, warn = ed.resize(3.0, resize_type=0)
+    verts = editor.ellipse_vertices(e) / 512.0
+    assert np.all(verts >= -editor.EXCEED_THRESHOLD - 1e-6)
+    assert np.all(verts <= 1 + editor.EXCEED_THRESHOLD + 1e-6)
+    assert warn
+
+
+def test_ellipse_from_mask_and_canvas():
+    cv2 = pytest.importorskip("cv2")
+    mask = np.zeros((256, 256), np.uint8)
+    cv2.ellipse(mask, ((128, 120), (60, 100), 25.0), 255, -1)
+    e = editor.ellipse_from_mask(mask)
+    assert abs(e[0][0] - 128) < 3 and abs(e[0][1] - 120) < 3
+    assert abs(e[1][0] - 60) < 6 and abs(e[1][1] - 100) < 6
+
+    img = np.full((256, 256, 3), 128, np.uint8)
+    fg = editor.object_region_on_canvas(img, mask, canvas=512)
+    assert fg.shape == (512, 512, 3)
+    assert (fg == 255).all(axis=-1).mean() > 0.9  # mostly white canvas
+
+
+def test_compositional_init():
+    ed = editor.BlobEditor(height=512, width=512)
+    target = ((300.0, 200.0), (80.0, 120.0), 45.0)
+    ed.init_compositional(target)
+    assert ed.initial[1] == (1e-5, 1e-5)  # degenerate start
+    assert ed.current == target
+    assert len(ed.entries) == 2
