@@ -27,6 +27,9 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax
     import jax.numpy as jnp
 
     from blobctrl_tpu.apps import flagship

@@ -103,10 +103,19 @@ def init_attention(key, query_dim: int, heads: int, cross_dim: Optional[int] = N
 
 def attention(params, x: Array, heads: int, context: Optional[Array] = None,
               mask: Optional[Array] = None) -> Array:
-    ctx = x if context is None else context
-    q = layers.linear(params["to_q"], x)
-    k = layers.linear(params["to_k"], ctx)
-    v = layers.linear(params["to_v"], ctx)
+    if context is None and "bias" not in params["to_q"]:
+        # self-attention: fuse the three projections into one matmul. The
+        # weight concat is loop-invariant, so XLA hoists it out of the
+        # denoising fori_loop.
+        wq = params["to_q"]["kernel"]
+        wk = params["to_k"]["kernel"]
+        wv = params["to_v"]["kernel"]
+        qkv = jnp.dot(x, jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = layers.linear(params["to_q"], x)
+        k = layers.linear(params["to_k"], context)
+        v = layers.linear(params["to_v"], context)
     out = multi_head_attention(q, k, v, heads, mask)
     return layers.linear(params["to_out"], out)
 

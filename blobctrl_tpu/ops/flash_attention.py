@@ -43,21 +43,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # keep MXU inputs in their native (bf16) dtype; accumulate in fp32 —
+    # casting inputs to f32 here would force multi-pass f32 MXU matmuls
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
     m_prev = m_ref[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)          # (BQ, 1)
     m_new = jnp.maximum(m_prev, m_cur)                   # (BQ, 128) bcast
     alpha = jnp.exp(m_prev - m_new)                      # (BQ, 128), rows equal
-    p = jnp.exp(s - m_new[:, :1])                        # (BQ, BK)
+    p = jnp.exp(s - m_new[:, :1])                        # (BQ, BK) f32
 
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = m_new
 
-    pv = jax.lax.dot_general(p, v_ref[0].astype(jnp.float32),
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
@@ -74,7 +74,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
                                              "interpret"))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
-                    block_q: int = 512, block_kv: int = 512,
+                    block_q: int = 512, block_kv: int = 1024,
                     interpret: bool = False) -> Array:
     """q: (B, H, Sq, D), k/v: (B, H, Sk, D) -> (B, H, Sq, D).
 

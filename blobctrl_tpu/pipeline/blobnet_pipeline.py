@@ -181,12 +181,19 @@ class BlobNetPipeline:
                     fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales):
             """latents: (B, h, w, 4) f32. fg/bg_lat: (CB, h, w, 4);
             fg/bg_score: (CB, h, w, 1); fg_feats: (CB, h, w, Cd);
-            cond_scales: (S,) f32. CB = CFG batch (2B or B)."""
+            cond_scales: (S,) f32. CB = CFG batch (2B or B).
+
+            CFG dedup: BlobNet takes no text conditioning, so its two CFG
+            rows would be bit-identical (the reference runs it redundantly at
+            batch 2B, pipeline_blobnet.py:1043-1068). We run BlobNet at batch
+            B and broadcast the residuals — exact same numbers, half the
+            BlobNet FLOPs."""
+            n = latents.shape[0]
             # static conditioning tensors, pre-concatenated once:
             blob_cond_left = jnp.concatenate(
-                [fg_lat, fg_score, fg_feats], axis=-1).astype(dtype)
+                [fg_lat[:n], fg_score[:n], fg_feats[:n]], axis=-1).astype(dtype)
             blob_cond_right_extras = jnp.concatenate(
-                [fg_score, fg_feats], axis=-1).astype(dtype)
+                [fg_score[:n], fg_feats[:n]], axis=-1).astype(dtype)
             unet_cond_left = jnp.concatenate(
                 [bg_lat, bg_score], axis=-1).astype(dtype)
             bg_score_d = bg_score.astype(dtype)
@@ -200,22 +207,29 @@ class BlobNetPipeline:
             def body(i, state):
                 sample = state[0]
                 t = sched.timesteps_jax[i].astype(jnp.float32)
-                lmi = jnp.concatenate([sample] * 2, axis=0) if do_cfg else sample
-                lmi = lmi.astype(dtype)
+                sample_d = sample.astype(dtype)
+                lmi = (jnp.concatenate([sample_d] * 2, axis=0)
+                       if do_cfg else sample_d)
 
-                blob_right = jnp.concatenate([lmi, blob_cond_right_extras], axis=-1)
+                # BlobNet at batch B (no CFG duplication; see docstring)
+                blob_right = jnp.concatenate([sample_d, blob_cond_right_extras],
+                                             axis=-1)
                 blob_in = jnp.concatenate([blob_cond_left, blob_right], axis=2)
                 down, mid, up = blobnet_lib.blobnet_apply(
                     blobnet_params, blobnet_cfg, blob_in, t,
                     conditioning_scale=cond_scales[i].astype(dtype))
 
+                def bcast(r):
+                    r = crop_right(r)
+                    return (jnp.concatenate([r, r], axis=0) if do_cfg else r)
+
                 unet_right = jnp.concatenate([lmi, bg_score_d], axis=-1)
                 unet_in = jnp.concatenate([unet_cond_left, unet_right], axis=2)
                 noise_pred = unet_lib.unet_apply(
                     unet_params, unet_cfg, unet_in, t, pe,
-                    down_block_add_samples=[crop_right(r) for r in down],
-                    mid_block_add_sample=crop_right(mid),
-                    up_block_add_samples=[crop_right(r) for r in up])
+                    down_block_add_samples=[bcast(r) for r in down],
+                    mid_block_add_sample=bcast(mid),
+                    up_block_add_samples=[bcast(r) for r in up])
 
                 w = noise_pred.shape[2]
                 noise_pred = noise_pred[:, :, w // 2:, :].astype(jnp.float32)
