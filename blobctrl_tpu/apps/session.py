@@ -1,0 +1,188 @@
+"""Headless interactive editing session — the Gradio demo's state machine
+(/root/reference/scripts/blobctrl_app.py) decoupled from any UI.
+
+Flow (mirrors the demo):
+  1. set_image(img)             — aspect check, resize + center-crop to 512^2
+  2. segment(points, labels)    — SAM point-click segmentation
+  3. generate_blob()            — mask -> ellipse (1.05x inflate), object crop
+                                  on white canvas, blob viz
+  4. move/resize/rotate/...     — multi-round edits (BlobEditor)
+  5. run(prompt, ...)           — build edited background (start region white,
+                                  target region black), splat score, pipeline
+Remove mode: run(remove=True) — bg = original with start region white,
+  score forced to [bg=1, fg=0], control strength 0.
+
+A Gradio UI can wrap this class 1:1; the logic lives here so it is testable
+and server-deployable without gradio.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from blobctrl_tpu.blob import editor as editor_lib
+from blobctrl_tpu.blob import math as blob_math
+from blobctrl_tpu.blob import viz as viz_lib
+
+
+def initialize_image(img: np.ndarray, size: int = 512) -> np.ndarray:
+    """Resize shortest side to 512 + center crop (blobctrl_app.py:973-1015);
+    aspect ratio must be <= 2."""
+    import cv2
+    h, w = img.shape[:2]
+    if max(h, w) / min(h, w) > 2.0:
+        raise ValueError("image aspect ratio cannot be larger than 2.0")
+    scale = size / min(h, w)
+    img = cv2.resize(img, (int(w * scale), int(h * scale)))
+    h, w = img.shape[:2]
+    y0, x0 = (h - size) // 2, (w - size) // 2
+    return img[y0:y0 + size, x0:x0 + size].copy()
+
+
+@dataclasses.dataclass
+class SessionResult:
+    images: np.ndarray                    # (N, H, W, 3) float [0,1]
+    images_with_ellipse: List[np.ndarray]
+    final_ellipse: tuple
+
+
+class BlobCtrlSession:
+    def __init__(self, pipeline, sam_predictor=None, size: int = 512):
+        self.pipeline = pipeline
+        self.sam = sam_predictor
+        self.size = size
+        self.original_image: Optional[np.ndarray] = None
+        self.mask: Optional[np.ndarray] = None
+        self.fg_image: Optional[np.ndarray] = None
+        self.editor = editor_lib.BlobEditor(height=size, width=size)
+        self.selected_points: List[Tuple[float, float]] = []
+
+    # ------------------------------------------------------------------
+    # steps 1-2: image + segmentation
+    # ------------------------------------------------------------------
+
+    def set_image(self, img: np.ndarray) -> np.ndarray:
+        self.original_image = initialize_image(np.asarray(img), self.size)
+        self.mask = None
+        self.fg_image = None
+        self.selected_points = []
+        self.editor = editor_lib.BlobEditor(height=self.size, width=self.size)
+        if self.sam is not None:
+            self.sam.set_image(self.original_image)
+        return self.original_image
+
+    def click(self, x: float, y: float, label: int = 1) -> np.ndarray:
+        """Add a point and re-run SAM (demo get_point/segmentation flow)."""
+        assert self.sam is not None, "no SAM predictor attached"
+        self.selected_points.append((x, y, label))
+        pts = np.asarray([(p[0], p[1]) for p in self.selected_points], np.float32)
+        lbs = np.asarray([p[2] for p in self.selected_points], np.int32)
+        masks, _, _ = self.sam.predict(pts, lbs, multimask_output=False)
+        self.mask = (masks[0] * 255).astype(np.uint8)
+        return self.mask
+
+    def set_mask(self, mask: np.ndarray):
+        """Directly provide a segmentation mask (replay / no-SAM flows)."""
+        self.mask = (np.asarray(mask) > 0).astype(np.uint8) * 255
+
+    # ------------------------------------------------------------------
+    # step: blob initialization
+    # ------------------------------------------------------------------
+
+    def generate_blob(self, inflate: float = 1.05) -> tuple:
+        assert self.mask is not None, "segment first"
+        ellipse = self.editor.init_from_mask(self.mask, inflate=inflate)
+        self.fg_image = editor_lib.object_region_on_canvas(
+            self.original_image, self.mask, canvas=self.size)
+        return ellipse
+
+    def compositional_add(self, object_image: np.ndarray, target_ellipse):
+        """Paste a user-supplied object (blobctrl_app.py:1384-1461)."""
+        self.editor.init_compositional(target_ellipse)
+        obj = np.asarray(object_image)
+        mask = (obj.sum(-1) < 255 * 3 - 10).astype(np.uint8) * 255 \
+            if obj.ndim == 3 else np.full(obj.shape[:2], 255, np.uint8)
+        self.fg_image = editor_lib.object_region_on_canvas(obj, mask, canvas=self.size)
+        self.mask = viz_lib.ellipse_mask(self.editor.initial, self.size, self.size)
+
+    # edit ops -----------------------------------------------------------
+
+    def move(self, dx: float, dy: float):
+        return self.editor.move((dx, dy))
+
+    def resize(self, factor: float, resize_type: int = 0):
+        return self.editor.resize(factor, resize_type)
+
+    def rotate(self, degrees: float):
+        return self.editor.rotate(degrees)
+
+    def undo(self):
+        return self.editor.undo()
+
+    def reset(self):
+        return self.editor.reset()
+
+    def blob_visualization(self) -> np.ndarray:
+        return viz_lib.blob_vis_from_ellipse(self.editor.current, self.size, self.size)
+
+    # ------------------------------------------------------------------
+    # backgrounds + generation
+    # ------------------------------------------------------------------
+
+    def build_edited_background(self) -> np.ndarray:
+        """Start-ellipse region -> white, current-ellipse region -> black
+        (blobctrl_app.py:1113-1127)."""
+        start_mask = viz_lib.ellipse_mask(self.editor.initial, self.size, self.size)
+        cur_mask = viz_lib.ellipse_mask(self.editor.current, self.size, self.size)
+        bg = viz_lib.composite_mask_and_image(start_mask, self.original_image,
+                                              (255, 255, 255))
+        return viz_lib.composite_mask_and_image(cur_mask, bg, (0, 0, 0))
+
+    def build_removal_background(self) -> np.ndarray:
+        start_mask = viz_lib.ellipse_mask(self.editor.initial, self.size, self.size)
+        return viz_lib.composite_mask_and_image(start_mask, self.original_image,
+                                                (255, 255, 255))
+
+    def run(self, prompt: str, num_samples: int = 1, seed: int = 1248464818,
+            guidance_scale: float = 7.5, num_inference_steps: int = 50,
+            blobnet_control_strength: float = 1.2,
+            blobnet_control_guidance_start: float = 0.0,
+            blobnet_control_guidance_end: float = 1.0,
+            remove: bool = False, scheduler: str = "unipc",
+            bg_image: Optional[np.ndarray] = None,
+            fg_image: Optional[np.ndarray] = None) -> SessionResult:
+        assert self.editor.entries, "generate a blob first"
+        size = self.size
+        lh, lw = size // 8, size // 8
+        fg = fg_image if fg_image is not None else self.fg_image
+        assert fg is not None, "no foreground object image"
+
+        if not remove:
+            bg = bg_image if bg_image is not None else self.build_edited_background()
+            final_ellipse = self.editor.current
+            gs = blob_math.blob_score_from_ellipse(final_ellipse, size, size, (lh, lw))
+            strength = blobnet_control_strength
+        else:
+            bg = bg_image if bg_image is not None else self.build_removal_background()
+            final_ellipse = self.editor.initial
+            gs = blob_math.removal_score((lh, lw))
+            strength = 0.0
+
+        out = self.pipeline(
+            prompt=[prompt] * num_samples,
+            fg_image=fg, bg_image=bg, gs_score=np.asarray(gs),
+            height=size, width=size,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed,
+            blobnet_conditioning_scale=float(strength),
+            blobnet_control_guidance_start=float(blobnet_control_guidance_start),
+            blobnet_control_guidance_end=float(blobnet_control_guidance_end),
+            scheduler=scheduler)
+
+        plots = [viz_lib.draw_ellipse((img * 255).astype(np.uint8), final_ellipse)
+                 for img in out.images]
+        return SessionResult(images=out.images, images_with_ellipse=plots,
+                             final_ellipse=final_ellipse)

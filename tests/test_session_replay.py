@@ -1,0 +1,118 @@
+"""Session + golden-state replay through tiny random-weight pipelines (full
+path validation without the published checkpoints)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blobctrl_tpu.apps import replay as replay_lib
+from blobctrl_tpu.apps import session as session_lib
+from blobctrl_tpu.models import blobnet as blobnet_lib
+from blobctrl_tpu.models import unet as unet_lib
+from blobctrl_tpu.models import vae as vae_lib
+from blobctrl_tpu.apps import flagship
+from blobctrl_tpu.pipeline import BlobNetPipeline
+
+DEMO_ROOT = "/root/reference/assets/results/demo"
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    from blobctrl_tpu.models import dinov2 as dino_lib
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    dino_cfg = dino_lib.DINOv2Config(hidden_size=16, num_layers=2, num_heads=2,
+                                     intermediate_size=32, patch_size=14,
+                                     image_size=28)
+    return BlobNetPipeline(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg),
+        dino_cfg=dino_cfg, dino_params=dino_lib.init(key, dino_cfg),
+        dino_image_size=28)
+
+
+def fake_prompt_encoder(pipe):
+    """Bypass CLIP (no tiny clip in this fixture): fixed prompt embeds."""
+    rng = np.random.RandomState(0)
+    pe = rng.randn(1, 7, 16).astype(np.float32)
+
+    def encode(prompt, negative_prompt, nipp, do_cfg, clip_skip=None,
+               prompt_embeds=None, negative_prompt_embeds=None):
+        n = len(prompt) if isinstance(prompt, list) else 1
+        e = jnp.asarray(np.tile(pe, (n * nipp, 1, 1)))
+        return jnp.concatenate([e, e], axis=0) if do_cfg else e
+
+    pipe.encode_prompt = encode
+    return pipe
+
+
+def test_session_full_edit_flow(tiny_pipeline):
+    cv2 = pytest.importorskip("cv2")
+    pipe = fake_prompt_encoder(tiny_pipeline)
+    sess = session_lib.BlobCtrlSession(pipe, sam_predictor=None, size=64)
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)
+    out = sess.set_image(img)
+    assert out.shape == (64, 64, 3)
+
+    mask = np.zeros((64, 64), np.uint8)
+    cv2.ellipse(mask, ((30, 30), (20, 30), 15.0), 255, -1)
+    sess.set_mask(mask)
+    ellipse = sess.generate_blob()
+    assert sess.fg_image.shape == (64, 64, 3)
+
+    sess.move(10, 5)
+    sess.resize(1.2)
+    sess.rotate(20)
+    viz = sess.blob_visualization()
+    assert viz.shape == (64, 64, 3)
+
+    res = sess.run("a tiny test", num_samples=1, num_inference_steps=2,
+                   fg_image=sess.fg_image)
+    assert res.images.shape == (1, 64, 64, 3)
+    assert np.isfinite(res.images).all()
+
+    # remove mode
+    res2 = sess.run("a tiny test", num_samples=1, num_inference_steps=2,
+                    remove=True)
+    assert res2.images.shape == (1, 64, 64, 3)
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="no demo assets")
+def test_replay_golden_state_path(tiny_pipeline):
+    """Replays move_hat (tiny weights, 2 steps) — validates state parsing,
+    blob score construction, and the full pipeline path; PSNR parity needs
+    the real checkpoints."""
+    pipe = fake_prompt_encoder(tiny_pipeline)
+    demo = os.path.join(DEMO_ROOT, "move_hat")
+    images, state, final_ellipse = replay_lib.replay(
+        pipe, demo, num_inference_steps=2, num_samples=1)
+    assert images.shape == (1, 512, 512, 3)
+    assert np.isfinite(images).all()
+    assert state["seed"] == 1248464818
+
+    _, _, _, expected = replay_lib.load_images(demo)
+    if expected:
+        start = replay_lib._ellipse_from_state(state["ellipse_lists"][0][0])
+        psnr = replay_lib.outside_mask_psnr(images[0], expected[0],
+                                            [start, final_ellipse])
+        assert np.isfinite(psnr)  # real parity threshold needs checkpoints
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="no demo assets")
+def test_replay_remove_mode(tiny_pipeline):
+    pipe = fake_prompt_encoder(tiny_pipeline)
+    demo = os.path.join(DEMO_ROOT, "remove_cow")
+    images, state, _ = replay_lib.replay(pipe, demo, num_inference_steps=2,
+                                         num_samples=1)
+    assert state["remove_blob_box"] is True
+    assert images.shape == (1, 512, 512, 3)
