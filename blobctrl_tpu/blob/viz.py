@@ -32,9 +32,10 @@ def default_palette(n: int = 29) -> np.ndarray:
 def blob_vis_image(xs, ys, covs, sizes, viz_hw: Tuple[int, int],
                    palette: Optional[np.ndarray] = None) -> np.ndarray:
     """Splat blobs at full resolution and color them: (H, W, 3) uint8."""
-    d_scores = blob_math.splat_scores(jnp.asarray(xs), jnp.asarray(ys),
-                                      jnp.asarray(covs), jnp.asarray(sizes),
-                                      viz_hw)  # (N, H, W, M+1)
+    from blobctrl_tpu.ops import blob_splat
+    d_scores = blob_splat.splat_scores_auto(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(covs),
+        jnp.asarray(sizes), viz_hw)  # (N, H, W, M+1); Pallas on TPU
     m1 = d_scores.shape[-1]
     pal = palette if palette is not None else default_palette()
     colors = jnp.asarray(pal[:m1], jnp.float32)[None]  # (1, M+1, 3)
