@@ -44,6 +44,7 @@ Array = jax.Array
 @dataclasses.dataclass
 class PipelineOutput:
     images: np.ndarray  # (B, H, W, 3) float in [0, 1]
+    nsfw_content_detected: Optional[np.ndarray] = None
 
 
 def preprocess_image(image, height: int, width: int) -> np.ndarray:
@@ -90,7 +91,9 @@ class BlobNetPipeline:
                  tokenizer: Optional[Callable[[Sequence[str]], np.ndarray]] = None,
                  dtype=jnp.float32,
                  dino_image_size: int = 224,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 safety_checker: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                 blackout_nsfw: bool = False):
         self.unet_cfg, self.unet_params = unet_cfg, unet_params
         self.blobnet_cfg, self.blobnet_params = blobnet_cfg, blobnet_params
         self.vae_cfg, self.vae_params = vae_cfg, vae_params
@@ -100,6 +103,11 @@ class BlobNetPipeline:
         self.dtype = dtype
         self.dino_image_size = dino_image_size
         self.mesh = mesh
+        # explicit safety policy: the reference registers a checker but
+        # comments out the call (pipeline_blobnet.py:1140-1141); here it runs
+        # iff a checker is supplied
+        self.safety_checker = safety_checker
+        self.blackout_nsfw = blackout_nsfw
         self._denoise_cache = {}
 
     # ------------------------------------------------------------------
@@ -168,6 +176,9 @@ class BlobNetPipeline:
             sched = unipc_lib.make(num_steps)
         elif scheduler_name == "ddim":
             sched = ddim_lib.make(num_steps)
+        elif scheduler_name == "dpm":
+            from blobctrl_tpu.schedulers import dpm as dpm_lib
+            sched = dpm_lib.make(num_steps)
         else:
             raise ValueError(f"unknown scheduler {scheduler_name}")
 
@@ -201,6 +212,9 @@ class BlobNetPipeline:
 
             if scheduler_name == "unipc":
                 state = unipc_lib.init_state(sched, latents)
+            elif scheduler_name == "dpm":
+                from blobctrl_tpu.schedulers import dpm as dpm_lib
+                state = dpm_lib.init_state(sched, latents)
             else:
                 state = (latents,)
 
@@ -239,6 +253,9 @@ class BlobNetPipeline:
 
                 if scheduler_name == "unipc":
                     return unipc_lib.step(sched, i, noise_pred, state)
+                if scheduler_name == "dpm":
+                    from blobctrl_tpu.schedulers import dpm as dpm_lib
+                    return dpm_lib.step(sched, i, noise_pred, state)
                 return (ddim_lib.step(sched, i, noise_pred, state[0]),)
 
             state = jax.lax.fori_loop(0, num_steps, body, state)
@@ -348,4 +365,10 @@ class BlobNetPipeline:
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(final))
         images = np.asarray(self._decode_latents(final))
-        return PipelineOutput(images=images)
+        has_nsfw = None
+        if self.safety_checker is not None:
+            has_nsfw = np.asarray(self.safety_checker(images))
+            if self.blackout_nsfw:
+                images = images.copy()
+                images[has_nsfw] = 0.0
+        return PipelineOutput(images=images, nsfw_content_detected=has_nsfw)

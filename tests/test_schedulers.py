@@ -99,3 +99,25 @@ def test_unipc_step_jits_in_fori_loop():
         state = junipc.step(sched, jnp.asarray(i), outs[i], state)
     assert_close(np.asarray(got), np.asarray(junipc.final_corrected_sample(state)),
                  atol=1e-6, name="unipc_jit")
+
+
+@pytest.mark.parametrize("steps", [5, 10, 50])
+def test_dpmsolver_trajectory_matches_diffusers(steps):
+    from blobctrl_tpu.schedulers import dpm as jdpm
+    import_diffusers()
+    from diffusers import DPMSolverMultistepScheduler
+    ref_sched = DPMSolverMultistepScheduler(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        algorithm_type="dpmsolver++", solver_order=2)
+    ref_sched.set_timesteps(steps)
+    sched = jdpm.make(steps)
+    np.testing.assert_array_equal(sched.timesteps, ref_sched.timesteps.numpy())
+
+    outs = fake_model_outputs(steps, seed=steps)
+    x_ref = torch.from_numpy(np.ones(SHAPE, np.float32))
+    state = jdpm.init_state(sched, jnp.asarray(np.ones(SHAPE, np.float32)))
+    for i, t in enumerate(ref_sched.timesteps):
+        x_ref = ref_sched.step(torch.from_numpy(outs[i]), t, x_ref).prev_sample
+        state = jdpm.step(sched, jnp.asarray(i), jnp.asarray(outs[i]), state)
+    assert_close(np.asarray(jdpm.final_sample(state)), x_ref.numpy(),
+                 atol=5e-4, rtol=5e-3, name=f"dpm{steps}")
