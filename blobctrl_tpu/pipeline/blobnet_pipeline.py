@@ -167,8 +167,9 @@ class BlobNetPipeline:
     # ------------------------------------------------------------------
 
     def _get_denoise_fn(self, scheduler_name: str, num_steps: int,
-                        guidance_scale: float, do_cfg: bool):
-        key = (scheduler_name, num_steps, guidance_scale, do_cfg)
+                        guidance_scale: float, do_cfg: bool,
+                        use_blobnet: bool = True):
+        key = (scheduler_name, num_steps, guidance_scale, do_cfg, use_blobnet)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -225,25 +226,44 @@ class BlobNetPipeline:
                 lmi = (jnp.concatenate([sample_d] * 2, axis=0)
                        if do_cfg else sample_d)
 
-                # BlobNet at batch B (no CFG duplication; see docstring)
-                blob_right = jnp.concatenate([sample_d, blob_cond_right_extras],
-                                             axis=-1)
-                blob_in = jnp.concatenate([blob_cond_left, blob_right], axis=2)
-                down, mid, up = blobnet_lib.blobnet_apply(
-                    blobnet_params, blobnet_cfg, blob_in, t,
-                    conditioning_scale=cond_scales[i].astype(dtype))
-
-                def bcast(r):
-                    r = crop_right(r)
-                    return (jnp.concatenate([r, r], axis=0) if do_cfg else r)
-
                 unet_right = jnp.concatenate([lmi, bg_score_d], axis=-1)
                 unet_in = jnp.concatenate([unet_cond_left, unet_right], axis=2)
-                noise_pred = unet_lib.unet_apply(
-                    unet_params, unet_cfg, unet_in, t, pe,
-                    down_block_add_samples=[bcast(r) for r in down],
-                    mid_block_add_sample=bcast(mid),
-                    up_block_add_samples=[bcast(r) for r in up])
+
+                if use_blobnet:
+                    # BlobNet at batch B (no CFG duplication; see docstring)
+                    blob_right = jnp.concatenate(
+                        [sample_d, blob_cond_right_extras], axis=-1)
+                    blob_in = jnp.concatenate([blob_cond_left, blob_right], axis=2)
+
+                    def blob_on(blob_in):
+                        return blobnet_lib.blobnet_apply(
+                            blobnet_params, blobnet_cfg, blob_in, t,
+                            conditioning_scale=cond_scales[i].astype(dtype))
+
+                    def blob_off(blob_in):
+                        return jax.tree_util.tree_map(
+                            jnp.zeros_like, jax.eval_shape(blob_on, blob_in))
+
+                    # steps outside the control window (blobnet_keep == 0)
+                    # skip the entire BlobNet forward
+                    down, mid, up = jax.lax.cond(
+                        cond_scales[i] != 0.0, blob_on, blob_off, blob_in)
+
+                    def bcast(r):
+                        r = crop_right(r)
+                        return (jnp.concatenate([r, r], axis=0) if do_cfg else r)
+
+                    noise_pred = unet_lib.unet_apply(
+                        unet_params, unet_cfg, unet_in, t, pe,
+                        down_block_add_samples=[bcast(r) for r in down],
+                        mid_block_add_sample=bcast(mid),
+                        up_block_add_samples=[bcast(r) for r in up])
+                else:
+                    # remove mode: conditioning scale is statically 0 — the
+                    # BlobNet residuals would all be zeros (reference computes
+                    # them anyway and multiplies by 0, pipeline_blobnet.py:1040)
+                    noise_pred = unet_lib.unet_apply(
+                        unet_params, unet_cfg, unet_in, t, pe)
 
                 w = noise_pred.shape[2]
                 noise_pred = noise_pred[:, :, w // 2:, :].astype(jnp.float32)
@@ -356,8 +376,10 @@ class BlobNetPipeline:
                                              blobnet_control_guidance_end)
                        * float(blobnet_conditioning_scale))
 
+        use_blobnet = bool(np.any(cond_scales != 0.0))
         denoise, sched = self._get_denoise_fn(scheduler, num_inference_steps,
-                                              float(guidance_scale), do_cfg)
+                                              float(guidance_scale), do_cfg,
+                                              use_blobnet)
         final = denoise(self.unet_params, self.blobnet_params, latents, pe,
                         fg_lat, bg_lat, fg_score, bg_score, fg_feats,
                         jnp.asarray(cond_scales))
