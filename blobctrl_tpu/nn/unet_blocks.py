@@ -69,7 +69,9 @@ def init_down_block(key, c_in: int, c_out: int, temb_dim: int, num_layers: int,
                     transformer_layers: int = 1):
     """heads=None -> plain DownBlock2D (no attention)."""
     keys = jax.random.split(key, 2 * num_layers + 1)
-    p = {"resnets": [], "attentions": [] if heads is not None else None}
+    p = {"resnets": []}
+    if heads is not None:
+        p["attentions"] = []
     for i in range(num_layers):
         cin = c_in if i == 0 else c_out
         p["resnets"].append(rn.init_resnet_block(keys[2 * i], cin, c_out, temb_dim))
@@ -98,7 +100,9 @@ def init_up_block(key, c_in: int, c_out: int, prev_out: int, temb_dim: int,
                   add_upsample: bool, norm_groups: int = 32,
                   transformer_layers: int = 1):
     keys = jax.random.split(key, 2 * num_layers + 1)
-    p = {"resnets": [], "attentions": [] if heads is not None else None}
+    p = {"resnets": []}
+    if heads is not None:
+        p["attentions"] = []
     for i in range(num_layers):
         res_skip = c_in if (i == num_layers - 1) else c_out
         res_in = prev_out if i == 0 else c_out

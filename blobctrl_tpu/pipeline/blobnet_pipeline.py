@@ -110,6 +110,22 @@ class BlobNetPipeline:
         self.blackout_nsfw = blackout_nsfw
         self._denoise_cache = {}
 
+    def shard_to_mesh(self, mesh=None, model_parallel: bool = False):
+        """Place all params on a device mesh (replicated, or with large
+        kernels sharded over the model axis). Batch inputs are sharded per
+        call over the data axis; weights stay resident across edits."""
+        from blobctrl_tpu.parallel import mesh as mesh_lib
+        if mesh is not None:
+            self.mesh = mesh
+        assert self.mesh is not None, "no mesh given"
+        for name in ("unet_params", "blobnet_params", "vae_params",
+                     "clip_params", "dino_params"):
+            p = getattr(self, name)
+            if p is not None:
+                setattr(self, name, mesh_lib.shard_params(
+                    self.mesh, p, model_parallel=model_parallel))
+        return self
+
     # ------------------------------------------------------------------
     # encoders
     # ------------------------------------------------------------------
@@ -375,6 +391,23 @@ class BlobNetPipeline:
                                              blobnet_control_guidance_start,
                                              blobnet_control_guidance_end)
                        * float(blobnet_conditioning_scale))
+
+        # multi-chip: shard batch-major tensors over the data axis (weights
+        # are placed by shard_to_mesh); XLA GSPMD propagates the rest
+        if self.mesh is not None:
+            from blobctrl_tpu.parallel import mesh as mesh_lib
+            data_size = self.mesh.shape["data"]
+
+            def put(x):
+                if x.shape[0] % data_size == 0:
+                    return jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
+                return jax.device_put(x, mesh_lib.replicated(self.mesh))
+
+            latents = put(latents)
+            pe = put(pe)
+            fg_lat, bg_lat = put(fg_lat), put(bg_lat)
+            fg_score, bg_score = put(fg_score), put(bg_score)
+            fg_feats = put(fg_feats)
 
         use_blobnet = bool(np.any(cond_scales != 0.0))
         denoise, sched = self._get_denoise_fn(scheduler, num_inference_steps,
