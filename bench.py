@@ -89,6 +89,27 @@ def main():
 
     sec = float(np.median(times))
     img_s_chip = 1.0 / sec  # one chip in this harness
+
+    # secondary: batched multi-edit throughput (BASELINE config 4: bs=8)
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch_img_s = None
+    if batch > 1:
+        def run_batch():
+            return pipe(fg_image=fg, bg_image=bg, gs_score=gs,
+                        height=size, width=size, num_inference_steps=steps,
+                        guidance_scale=7.5, prompt_embeds=pe,
+                        negative_prompt_embeds=npe, seed=0,
+                        num_images_per_prompt=batch,
+                        blobnet_conditioning_scale=1.6,
+                        blobnet_control_guidance_end=0.9,
+                        scheduler="unipc", fg_dino_feats=dino_feats).images
+        run_batch()
+        t0 = time.perf_counter()
+        imgs = run_batch()
+        batch_sec = time.perf_counter() - t0
+        assert imgs.shape[0] == batch
+        batch_img_s = batch / batch_sec
+
     baseline_img_s_chip = 1.0 / 1.5 / 4.0
     print(json.dumps({
         "metric": f"img/s/chip, {steps}-step {size}^2 SD1.5+BlobNet edit (bf16, CFG, UniPC)",
@@ -97,6 +118,7 @@ def main():
         "vs_baseline": round(img_s_chip / baseline_img_s_chip, 3),
         "edit_seconds": round(sec, 4),
         "times": [round(t, 4) for t in times],
+        "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
         "device": str(jax.devices()[0]),
     }))
 

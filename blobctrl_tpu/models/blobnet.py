@@ -106,6 +106,7 @@ def num_residuals(cfg: BlobNetConfig) -> Tuple[int, int, int]:
 
 def blobnet_apply(params, cfg: BlobNetConfig, sample: Array, timesteps: Array,
                   conditioning_scale: Union[float, Array] = 1.0,
+                  guess_mode: bool = False,
                   remat: bool = False
                   ) -> Tuple[List[Array], Array, List[Array]]:
     """sample: (B, H, 2W, 1029) NHWC double-width blob conditioning input.
@@ -152,9 +153,21 @@ def blobnet_apply(params, cfg: BlobNetConfig, sample: Array, timesteps: Array,
         if scale.ndim == 1:  # per-sample scale
             scale = scale[:, None, None, None]
 
-    down_res = [layers.conv2d(zp, s) * scale
-                for zp, s in zip(params["zero_down"], down_states)]
-    mid_res = layers.conv2d(params["zero_mid"], mid_state) * scale
-    up_res = [layers.conv2d(zp, s) * scale
-              for zp, s in zip(params["zero_up"], up_states)]
+    if guess_mode:
+        # logspace 0.1 -> 1.0 ramp over the down path, last value for mid/up
+        # (blobnet.py:929-934 semantics)
+        ramp = jnp.logspace(-1, 0, len(down_states) + 1)
+        down_scales = [scale * r for r in ramp[:-1]]
+        mid_scale = scale * ramp[-1]
+        up_scales = [scale * ramp[-1]] * len(up_states)
+    else:
+        down_scales = [scale] * len(down_states)
+        mid_scale = scale
+        up_scales = [scale] * len(up_states)
+
+    down_res = [layers.conv2d(zp, s) * sc
+                for zp, s, sc in zip(params["zero_down"], down_states, down_scales)]
+    mid_res = layers.conv2d(params["zero_mid"], mid_state) * mid_scale
+    up_res = [layers.conv2d(zp, s) * sc
+              for zp, s, sc in zip(params["zero_up"], up_states, up_scales)]
     return down_res, mid_res, up_res

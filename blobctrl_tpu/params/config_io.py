@@ -1,0 +1,86 @@
+"""Config JSON round-trip — the ConfigMixin/register_to_config parity layer
+(reference persists model configs as config.json next to the weights;
+configuration_utils.py / blobnet.py:151).
+
+Our configs are frozen dataclasses; this module serializes/restores them and
+can also translate a diffusers config.json into our config classes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Type, TypeVar
+
+T = TypeVar("T")
+
+
+def save_config(cfg, path: str):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    d = dataclasses.asdict(cfg)
+    d["_class_name"] = type(cfg).__name__
+    with open(path, "w") as f:
+        json.dump(d, f, indent=2, default=str)
+
+
+def load_config(cls: Type[T], path: str) -> T:
+    with open(path) as f:
+        d = json.load(f)
+    d.pop("_class_name", None)
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def unet_config_from_diffusers(config: Dict[str, Any]):
+    """diffusers UNet2DConditionModel config.json -> UNetConfig."""
+    from blobctrl_tpu.models.unet import UNetConfig
+    down = tuple("CrossAttn" in t for t in config["down_block_types"])
+    up = tuple("CrossAttn" in t for t in config["up_block_types"])
+    heads = config.get("num_attention_heads") or config["attention_head_dim"]
+    if isinstance(heads, (list, tuple)):
+        heads = heads[0]
+    return UNetConfig(
+        in_channels=config["in_channels"],
+        out_channels=config["out_channels"],
+        block_out_channels=tuple(config["block_out_channels"]),
+        down_block_has_attn=down,
+        up_block_has_attn=up,
+        layers_per_block=config["layers_per_block"],
+        cross_attention_dim=config.get("cross_attention_dim"),
+        num_heads=int(heads),
+        norm_num_groups=config.get("norm_num_groups", 32),
+        norm_eps=config.get("norm_eps", 1e-5),
+        transformer_layers_per_block=config.get("transformer_layers_per_block", 1) or 1,
+        flip_sin_to_cos=config.get("flip_sin_to_cos", True),
+        freq_shift=config.get("freq_shift", 0),
+    )
+
+
+def blobnet_config_from_diffusers(config: Dict[str, Any]):
+    """reference BlobNetModel config.json -> BlobNetConfig."""
+    from blobctrl_tpu.models.blobnet import BlobNetConfig
+    down = tuple("CrossAttn" in t for t in config["down_block_types"])
+    up = tuple("CrossAttn" in t for t in config["up_block_types"])
+    heads = config.get("num_attention_heads") or config["attention_head_dim"]
+    if isinstance(heads, (list, tuple)):
+        heads = heads[0]
+    return BlobNetConfig(
+        in_channels=config.get("in_channels", 4),
+        conditioning_channels=config.get("conditioning_channels", 1025),
+        block_out_channels=tuple(config["block_out_channels"]),
+        down_block_has_attn=down,
+        up_block_has_attn=up,
+        layers_per_block=config["layers_per_block"],
+        cross_attention_dim=config.get("cross_attention_dim"),
+        num_heads=int(heads),
+        norm_num_groups=config.get("norm_num_groups", 32),
+        norm_eps=config.get("norm_eps", 1e-5),
+    )

@@ -59,6 +59,11 @@ def _load_model_dir(model_dir: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no weights in {model_dir}")
 
 
+def dataclasses_replace_in_channels(cfg, n: int):
+    import dataclasses
+    return dataclasses.replace(cfg, in_channels=n)
+
+
 def widen_conv_in(unet_tree: Dict[str, Any], new_in: int = 5) -> Dict[str, Any]:
     """Widen conv_in input channels with zero-init extra channels, matching
     scripts/blobctrl_inference.py:233-249 (HWIO layout here)."""
@@ -111,10 +116,29 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
     from blobctrl_tpu.apps import flagship
     from blobctrl_tpu.models import lora as lora_lib
     from blobctrl_tpu.nn import layers
+    from blobctrl_tpu.params import config_io
     from blobctrl_tpu.pipeline import BlobNetPipeline
     from blobctrl_tpu.tokenizer import clip_bpe
 
     sd_root = os.path.join(models_root, "stable-diffusion-v1-5")
+
+    def maybe_config(model_dir, from_diffusers, default):
+        path = os.path.join(model_dir, "config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = from_diffusers(json.load(f))
+            return cfg
+        return default
+
+    unet_cfg = maybe_config(os.path.join(sd_root, "unet"),
+                            config_io.unet_config_from_diffusers,
+                            flagship.sd15_unet_config())
+    if unet_cfg.in_channels == 4:  # widened at load
+        unet_cfg = dataclasses_replace_in_channels(unet_cfg, 5)
+    blobnet_cfg = maybe_config(os.path.join(models_root, "BlobCtrl", "blobnet"),
+                               config_io.blobnet_config_from_diffusers,
+                               flagship.blobctrl_blobnet_config())
+
     unet = load_sd15_unet(os.path.join(sd_root, "unet"))
     lora_tree, alpha = load_lora_dir(os.path.join(models_root, "BlobCtrl", "unet_lora"))
     unet = lora_lib.merge_lora(unet, lora_tree, scale=lora_scale, alpha=alpha)
@@ -123,9 +147,9 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
     tokenizer = clip_bpe.CLIPTokenizer.from_dir(tok_dir) if os.path.isdir(tok_dir) else None
 
     pipe = BlobNetPipeline(
-        unet_cfg=flagship.sd15_unet_config(),
+        unet_cfg=unet_cfg,
         unet_params=layers.cast(unet, dtype),
-        blobnet_cfg=flagship.blobctrl_blobnet_config(),
+        blobnet_cfg=blobnet_cfg,
         blobnet_params=layers.cast(
             load_blobnet(os.path.join(models_root, "BlobCtrl", "blobnet")), dtype),
         vae_cfg=flagship.sd15_vae_config(),

@@ -321,10 +321,23 @@ class BlobNetPipeline:
                  clip_skip: Optional[int] = None,
                  scheduler: str = "unipc",
                  output_type: str = "np",
-                 fg_dino_feats: Optional[np.ndarray] = None) -> PipelineOutput:
+                 fg_dino_feats: Optional[np.ndarray] = None,
+                 ip_adapter_image=None,
+                 ip_adapter_image_embeds=None,
+                 return_sample: bool = False) -> PipelineOutput:
         """Runs one element-level edit. gs_score: (1, h, w, 2) channels-last
         [bg, fg] composited score map (see blob.math.blob_score_from_ellipse),
         or (1, 2, h, w) NCHW which is transposed automatically."""
+        if ip_adapter_image is not None or ip_adapter_image_embeds is not None:
+            raise NotImplementedError(
+                "IP-Adapter conditioning is not supported (the reference "
+                "exposes these kwargs but its own path is broken — "
+                "pipeline_blobnet.py:1116 reads an undefined variable)")
+        if return_sample:
+            raise NotImplementedError(
+                "return_sample is a dead path in the reference: it calls "
+                "blobnet.conv_norm_out/conv_act/conv_out which BlobNetModel "
+                "never defines (SURVEY.md §5 defects 1-2)")
         do_cfg = guidance_scale > 1.0
 
         if prompt is not None and isinstance(prompt, str):
