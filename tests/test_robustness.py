@@ -1,0 +1,88 @@
+"""Robustness: non-default resolutions, remat equivalence, batch semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blobctrl_tpu.apps import flagship
+from blobctrl_tpu.models import blobnet as blobnet_lib
+from blobctrl_tpu.models import unet as unet_lib
+from blobctrl_tpu.models import vae as vae_lib
+from blobctrl_tpu.pipeline import BlobNetPipeline
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    return dict(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+
+
+def _run(tiny, height, width, n_prompts=1, nipp=1, steps=2):
+    rng = np.random.RandomState(0)
+    pipe = BlobNetPipeline(**tiny)
+    fg = rng.randint(0, 255, (height, width, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (height, width, 3)).astype(np.uint8)
+    lh, lw = height // 8, width // 8
+    gs = np.stack([np.ones((1, lh, lw)), rng.rand(1, lh, lw)], -1).astype(np.float32)
+    pe = rng.randn(n_prompts, 7, 16).astype(np.float32)
+    npe = rng.randn(n_prompts, 7, 16).astype(np.float32)
+    dino = rng.randn(1, 16).astype(np.float32)
+    return pipe(fg_image=fg, bg_image=bg, gs_score=gs, height=height,
+                width=width, num_inference_steps=steps, guidance_scale=7.5,
+                prompt_embeds=pe, negative_prompt_embeds=npe, seed=1,
+                num_images_per_prompt=nipp, fg_dino_feats=dino).images
+
+
+def test_non_square_free_resolution(tiny):
+    out = _run(tiny, height=96, width=96)
+    assert out.shape == (1, 96, 96, 3)
+    out = _run(tiny, height=64, width=128)  # non-square
+    assert out.shape == (1, 64, 128, 3)
+
+
+def test_multi_prompt_multi_sample(tiny):
+    out = _run(tiny, 64, 64, n_prompts=2, nipp=3)
+    assert out.shape == (6, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
+def test_no_cfg_guidance_one(tiny):
+    rng = np.random.RandomState(0)
+    pipe = BlobNetPipeline(**tiny)
+    fg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    out = pipe(fg_image=fg, bg_image=fg, gs_score=gs, height=64, width=64,
+               num_inference_steps=2, guidance_scale=1.0,
+               prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+               fg_dino_feats=rng.randn(1, 16).astype(np.float32)).images
+    assert out.shape == (1, 64, 64, 3)
+
+
+def test_remat_matches_no_remat(tiny):
+    key = jax.random.PRNGKey(3)
+    ucfg = tiny["unet_cfg"]
+    params = tiny["unet_params"]
+    x = jax.random.normal(key, (1, 8, 16, 5))
+    ctx = jax.random.normal(key, (1, 7, 16))
+    y0 = unet_lib.unet_apply(params, ucfg, x, jnp.asarray(5), ctx, remat=False)
+    y1 = unet_lib.unet_apply(params, ucfg, x, jnp.asarray(5), ctx, remat=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+def test_dead_path_guards(tiny):
+    pipe = BlobNetPipeline(**tiny)
+    with pytest.raises(NotImplementedError, match="IP-Adapter"):
+        pipe(prompt_embeds=np.zeros((1, 7, 16), np.float32),
+             ip_adapter_image=np.zeros((8, 8, 3)))
+    with pytest.raises(NotImplementedError, match="return_sample"):
+        pipe(prompt_embeds=np.zeros((1, 7, 16), np.float32),
+             return_sample=True)
