@@ -64,6 +64,47 @@ def unet_config_from_diffusers(config: Dict[str, Any]):
     )
 
 
+def vae_config_from_diffusers(config: Dict[str, Any]):
+    from blobctrl_tpu.models.vae import VAEConfig
+    return VAEConfig(
+        in_channels=config.get("in_channels", 3),
+        out_channels=config.get("out_channels", 3),
+        latent_channels=config.get("latent_channels", 4),
+        block_out_channels=tuple(config.get("block_out_channels",
+                                            (128, 256, 512, 512))),
+        layers_per_block=config.get("layers_per_block", 2),
+        norm_num_groups=config.get("norm_num_groups", 32),
+        scaling_factor=config.get("scaling_factor", 0.18215),
+    )
+
+
+def clip_text_config_from_transformers(config: Dict[str, Any]):
+    from blobctrl_tpu.models.clip_text import CLIPTextConfig
+    return CLIPTextConfig(
+        vocab_size=config.get("vocab_size", 49408),
+        hidden_size=config.get("hidden_size", 768),
+        intermediate_size=config.get("intermediate_size", 3072),
+        num_layers=config.get("num_hidden_layers", 12),
+        num_heads=config.get("num_attention_heads", 12),
+        max_positions=config.get("max_position_embeddings", 77),
+        layer_norm_eps=config.get("layer_norm_eps", 1e-5),
+        hidden_act=config.get("hidden_act", "quick_gelu"),
+    )
+
+
+def dinov2_config_from_transformers(config: Dict[str, Any]):
+    from blobctrl_tpu.models.dinov2 import DINOv2Config
+    return DINOv2Config(
+        hidden_size=config.get("hidden_size", 1024),
+        num_layers=config.get("num_hidden_layers", 24),
+        num_heads=config.get("num_attention_heads", 16),
+        intermediate_size=config.get("intermediate_size", 4096),
+        patch_size=config.get("patch_size", 14),
+        layer_norm_eps=config.get("layer_norm_eps", 1e-6),
+        image_size=config.get("image_size", 518),
+    )
+
+
 def blobnet_config_from_diffusers(config: Dict[str, Any]):
     """reference BlobNetModel config.json -> BlobNetConfig."""
     from blobctrl_tpu.models.blobnet import BlobNetConfig

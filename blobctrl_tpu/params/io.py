@@ -138,6 +138,15 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
     blobnet_cfg = maybe_config(os.path.join(models_root, "BlobCtrl", "blobnet"),
                                config_io.blobnet_config_from_diffusers,
                                flagship.blobctrl_blobnet_config())
+    clip_cfg = maybe_config(os.path.join(sd_root, "text_encoder"),
+                            config_io.clip_text_config_from_transformers,
+                            flagship.clip_vit_l_config())
+    dino_cfg = maybe_config(os.path.join(models_root, "dinov2-large"),
+                            config_io.dinov2_config_from_transformers,
+                            flagship.dinov2_large_config())
+    vae_cfg = maybe_config(os.path.join(sd_root, "vae"),
+                           config_io.vae_config_from_diffusers,
+                           flagship.sd15_vae_config())
 
     unet = load_sd15_unet(os.path.join(sd_root, "unet"))
     lora_tree, alpha = load_lora_dir(os.path.join(models_root, "BlobCtrl", "unet_lora"))
@@ -152,12 +161,12 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
         blobnet_cfg=blobnet_cfg,
         blobnet_params=layers.cast(
             load_blobnet(os.path.join(models_root, "BlobCtrl", "blobnet")), dtype),
-        vae_cfg=flagship.sd15_vae_config(),
+        vae_cfg=vae_cfg,
         vae_params=layers.cast(load_vae(os.path.join(sd_root, "vae")), dtype),
-        clip_cfg=flagship.clip_vit_l_config(),
+        clip_cfg=clip_cfg,
         clip_params=layers.cast(
             load_clip_text(os.path.join(sd_root, "text_encoder")), dtype),
-        dino_cfg=flagship.dinov2_large_config(),
+        dino_cfg=dino_cfg,
         dino_params=layers.cast(
             load_dinov2(os.path.join(models_root, "dinov2-large")), dtype),
         tokenizer=tokenizer,

@@ -1,0 +1,148 @@
+"""End-to-end checkpoint loading: build a complete fake checkpoint directory
+(tiny torch models saved in the reference's exact layout + formats) and load
+it with params_io.load_pipeline, then run an edit."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from blobctrl_tpu.params import io as params_io
+from tests.oracles import import_diffusers, REFERENCE_ROOT
+
+torch = pytest.importorskip("torch")
+
+CTX = 16
+DINO_C = 16
+
+
+@pytest.fixture(scope="module")
+def fake_models_root(tmp_path_factory):
+    import_diffusers()
+    import sys
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from diffusers import AutoencoderKL, UNet2DConditionModel
+    from transformers import (CLIPTextModel, CLIPTextConfig, Dinov2Model,
+                              Dinov2Config)
+    import blobctrl.models.blobnet as ref_blobnet_mod
+    from safetensors.torch import save_file
+
+    root = tmp_path_factory.mktemp("models")
+    torch.manual_seed(0)
+
+    def save_model(model, subdir, name="diffusion_pytorch_model.safetensors",
+                   config=None):
+        d = root / subdir
+        d.mkdir(parents=True, exist_ok=True)
+        save_file({k: v.contiguous() for k, v in model.state_dict().items()},
+                  str(d / name))
+        if config is not None:
+            with open(d / "config.json", "w") as f:
+                json.dump(config, f)
+
+    unet = UNet2DConditionModel(
+        sample_size=8, in_channels=4, out_channels=4,
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        cross_attention_dim=CTX, attention_head_dim=2, norm_num_groups=4,
+        layers_per_block=2)
+    save_model(unet, "stable-diffusion-v1-5/unet", config=dict(unet.config))
+
+    vae = AutoencoderKL(in_channels=3, out_channels=3, latent_channels=4,
+                        block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                        norm_num_groups=4,
+                        down_block_types=("DownEncoderBlock2D",) * 4,
+                        up_block_types=("UpDecoderBlock2D",) * 4,
+                        sample_size=64)
+    save_model(vae, "stable-diffusion-v1-5/vae",
+               name="diffusion_pytorch_model.safetensors",
+               config=dict(vae.config))
+
+    text = CLIPTextModel(CLIPTextConfig(
+        vocab_size=512, hidden_size=CTX, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=77))
+    save_model(text, "stable-diffusion-v1-5/text_encoder",
+               name="model.safetensors", config=text.config.to_dict())
+
+    # tokenizer files (tiny but valid CLIP BPE)
+    from blobctrl_tpu.tokenizer import clip_bpe
+    tok_dir = root / "stable-diffusion-v1-5" / "tokenizer"
+    tok_dir.mkdir(parents=True)
+    base = list(clip_bpe.bytes_to_unicode().values())
+    vocab = {}
+    for ch in base:
+        vocab[ch] = len(vocab)
+    for ch in base:
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(tok_dir / "vocab.json", "w") as f:
+        json.dump(vocab, f)
+    with open(tok_dir / "merges.txt", "w") as f:
+        f.write("#version: 0.2\n")
+
+    blobnet = ref_blobnet_mod.BlobNetModel(
+        in_channels=4, conditioning_channels=1 + DINO_C,
+        block_out_channels=(8, 16),
+        down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+        cross_attention_dim=None, attention_head_dim=2, norm_num_groups=4,
+        layers_per_block=2)
+    save_model(blobnet, "BlobCtrl/blobnet", config=dict(blobnet.config))
+
+    # PEFT-format LoRA for the UNet
+    rank = 2
+    lora_sd = {}
+    for name, mod in unet.named_modules():
+        if name.endswith(("to_q", "to_k", "to_v")) and hasattr(mod, "in_features"):
+            lora_sd[f"base_model.model.{name}.lora_A.weight"] = \
+                torch.randn(rank, mod.in_features) * 0.1
+            lora_sd[f"base_model.model.{name}.lora_B.weight"] = \
+                torch.randn(mod.out_features, rank) * 0.1
+    lora_dir = root / "BlobCtrl" / "unet_lora"
+    lora_dir.mkdir(parents=True)
+    save_file(lora_sd, str(lora_dir / "adapter_model.safetensors"))
+    with open(lora_dir / "adapter_config.json", "w") as f:
+        json.dump({"r": rank, "lora_alpha": rank,
+                   "target_modules": ["to_q", "to_k", "to_v"]}, f)
+
+    dino = Dinov2Model(Dinov2Config(
+        hidden_size=DINO_C, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=32, image_size=28, patch_size=14))
+    save_model(dino, "dinov2-large", name="model.safetensors",
+               config=dino.config.to_dict())
+
+    return str(root)
+
+
+def test_load_pipeline_and_run(fake_models_root):
+    import jax.numpy as jnp
+    import dataclasses
+    pipe = params_io.load_pipeline(fake_models_root, dtype=jnp.float32)
+    # configs came from the on-disk config.json files
+    assert pipe.unet_cfg.block_out_channels == (8, 16)
+    assert pipe.unet_cfg.in_channels == 5  # widened at load
+    assert pipe.blobnet_cfg.conditioning_channels == 1 + DINO_C
+    assert pipe.tokenizer is not None
+
+    # LoRA was fused: conv_in widened with zeros beyond channel 4
+    k = np.asarray(pipe.unet_params["conv_in"]["kernel"])
+    assert k.shape[2] == 5 and np.all(k[:, :, 4, :] == 0)
+
+    # dino config came from disk
+    assert pipe.dino_cfg.hidden_size == DINO_C
+    pipe.dino_image_size = 28
+
+    rng = np.random.RandomState(0)
+    fg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    out = pipe(prompt="hello world", fg_image=fg, bg_image=fg, gs_score=gs,
+               height=64, width=64, num_inference_steps=2).images
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
