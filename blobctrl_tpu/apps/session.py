@@ -146,6 +146,68 @@ class BlobCtrlSession:
         return viz_lib.composite_mask_and_image(start_mask, self.original_image,
                                                 (255, 255, 255))
 
+    # ------------------------------------------------------------------
+    # replayable state (reference demo state.json schema,
+    # assets/results/demo/*/state/state.json)
+    # ------------------------------------------------------------------
+
+    def save_state(self, out_dir: str, prompt: str = "", **params):
+        import json
+        import os
+        from PIL import Image
+        os.makedirs(os.path.join(out_dir, "state"), exist_ok=True)
+        state = {
+            "scene_prompt": prompt,
+            "ellipse_lists": [[[list(e[0]), list(e[1]), e[2]], list(p), t]
+                              for e, p, t in self.editor.entries],
+            "remove_blob_box": bool(params.get("remove", False)),
+            "num_samples": int(params.get("num_samples", 1)),
+            "seed": int(params.get("seed", 1248464818)),
+            "guidance_scale": float(params.get("guidance_scale", 7.5)),
+            "num_inference_steps": int(params.get("num_inference_steps", 50)),
+            "blobnet_control_strength": float(params.get("blobnet_control_strength", 1.2)),
+            "blobnet_control_guidance_start": float(params.get("blobnet_control_guidance_start", 0.0)),
+            "blobnet_control_guidance_end": float(params.get("blobnet_control_guidance_end", 1.0)),
+            "tracking_points": params.get("tracking_points", []),
+        }
+        with open(os.path.join(out_dir, "state", "state.json"), "w") as f:
+            json.dump(state, f)
+        if self.original_image is not None:
+            d = os.path.join(out_dir, "input_image")
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(self.original_image).save(os.path.join(d, "input_image.png"))
+        if self.fg_image is not None:
+            d = os.path.join(out_dir, "object_image_gallery")
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(self.fg_image).save(
+                os.path.join(d, "validation_object_region_center.png"))
+        if self.editor.entries and not params.get("remove", False):
+            d = os.path.join(out_dir, "edited_result_gallery")
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(self.build_edited_background()).save(
+                os.path.join(d, "edited_result_gallery_0.png"))
+        return out_dir
+
+    def load_state(self, demo_dir: str):
+        """Restore editor entries + images from a demo-state directory."""
+        import json
+        import os
+        from PIL import Image
+        with open(os.path.join(demo_dir, "state", "state.json")) as f:
+            state = json.load(f)
+        ipath = os.path.join(demo_dir, "input_image", "input_image.png")
+        if os.path.exists(ipath):
+            self.original_image = np.asarray(Image.open(ipath).convert("RGB"))
+        opath = os.path.join(demo_dir, "object_image_gallery",
+                             "validation_object_region_center.png")
+        if os.path.exists(opath):
+            self.fg_image = np.asarray(Image.open(opath).convert("RGB"))
+        self.editor.entries = [
+            (((e[0][0][0], e[0][0][1]), (e[0][1][0], e[0][1][1]), e[0][2]),
+             tuple(e[1]), e[2])
+            for e in state["ellipse_lists"]]
+        return state
+
     def run(self, prompt: str, num_samples: int = 1, seed: int = 1248464818,
             guidance_scale: float = 7.5, num_inference_steps: int = 50,
             blobnet_control_strength: float = 1.2,

@@ -116,3 +116,35 @@ def test_replay_remove_mode(tiny_pipeline):
                                          num_samples=1)
     assert state["remove_blob_box"] is True
     assert images.shape == (1, 512, 512, 3)
+
+
+def test_session_state_roundtrip(tiny_pipeline, tmp_path):
+    """save_state emits the reference demo-state schema; load_state restores
+    it and the replay harness consumes it."""
+    cv2 = pytest.importorskip("cv2")
+    pipe = fake_prompt_encoder(tiny_pipeline)
+    sess = session_lib.BlobCtrlSession(pipe, size=64)
+    rng = np.random.RandomState(2)
+    sess.set_image(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+    mask = np.zeros((64, 64), np.uint8)
+    cv2.ellipse(mask, ((30, 30), (20, 30), 15.0), 255, -1)
+    sess.set_mask(mask)
+    sess.generate_blob()
+    sess.move(8, -4)
+    sess.rotate(15)
+
+    out_dir = str(tmp_path / "demo_state")
+    sess.save_state(out_dir, prompt="a test scene", num_samples=1,
+                    num_inference_steps=2)
+
+    # reload into a fresh session
+    sess2 = session_lib.BlobCtrlSession(pipe, size=64)
+    state = sess2.load_state(out_dir)
+    assert state["scene_prompt"] == "a test scene"
+    assert len(sess2.editor.entries) == 3
+    assert sess2.editor.current == sess.editor.current
+
+    # the replay harness can consume the saved directory
+    images, state2, _ = replay_lib.replay(pipe, out_dir, num_inference_steps=2,
+                                          num_samples=1)
+    assert images.shape == (1, 64, 64, 3)
