@@ -59,11 +59,6 @@ def _load_model_dir(model_dir: str) -> Dict[str, np.ndarray]:
     raise FileNotFoundError(f"no weights in {model_dir}")
 
 
-def dataclasses_replace_in_channels(cfg, n: int):
-    import dataclasses
-    return dataclasses.replace(cfg, in_channels=n)
-
-
 def widen_conv_in(unet_tree: Dict[str, Any], new_in: int = 5) -> Dict[str, Any]:
     """Widen conv_in input channels with zero-init extra channels, matching
     scripts/blobctrl_inference.py:233-249 (HWIO layout here)."""
@@ -134,7 +129,8 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
                             config_io.unet_config_from_diffusers,
                             flagship.sd15_unet_config())
     if unet_cfg.in_channels == 4:  # widened at load
-        unet_cfg = dataclasses_replace_in_channels(unet_cfg, 5)
+        import dataclasses
+        unet_cfg = dataclasses.replace(unet_cfg, in_channels=5)
     blobnet_cfg = maybe_config(os.path.join(models_root, "BlobCtrl", "blobnet"),
                                config_io.blobnet_config_from_diffusers,
                                flagship.blobctrl_blobnet_config())

@@ -36,6 +36,7 @@ from blobctrl_tpu.models import dinov2 as dino_lib
 from blobctrl_tpu.models import unet as unet_lib
 from blobctrl_tpu.models import vae as vae_lib
 from blobctrl_tpu.schedulers import ddim as ddim_lib
+from blobctrl_tpu.schedulers import dpm as dpm_lib
 from blobctrl_tpu.schedulers import unipc as unipc_lib
 
 Array = jax.Array
@@ -194,7 +195,6 @@ class BlobNetPipeline:
         elif scheduler_name == "ddim":
             sched = ddim_lib.make(num_steps)
         elif scheduler_name == "dpm":
-            from blobctrl_tpu.schedulers import dpm as dpm_lib
             sched = dpm_lib.make(num_steps)
         else:
             raise ValueError(f"unknown scheduler {scheduler_name}")
@@ -230,7 +230,6 @@ class BlobNetPipeline:
             if scheduler_name == "unipc":
                 state = unipc_lib.init_state(sched, latents)
             elif scheduler_name == "dpm":
-                from blobctrl_tpu.schedulers import dpm as dpm_lib
                 state = dpm_lib.init_state(sched, latents)
             else:
                 state = (latents,)
@@ -290,7 +289,6 @@ class BlobNetPipeline:
                 if scheduler_name == "unipc":
                     return unipc_lib.step(sched, i, noise_pred, state)
                 if scheduler_name == "dpm":
-                    from blobctrl_tpu.schedulers import dpm as dpm_lib
                     return dpm_lib.step(sched, i, noise_pred, state)
                 return (ddim_lib.step(sched, i, noise_pred, state[0]),)
 

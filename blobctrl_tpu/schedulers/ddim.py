@@ -25,11 +25,14 @@ Array = jax.Array
 class DDIMSchedule:
     timesteps: np.ndarray        # (S,) int64, descending — host side
     timesteps_jax: Array         # (S,) on device
-    # x_{t-1} = c_x0[i] * x0 + c_eps[i] * eps ; x0 = (x - s_t[i] * eps)/a_t[i]
+    # x_{t-1} = c_x0[i] * x0 + c_eps[i] * eps + sigma[i] * noise
+    # where x0 = (x - s_t[i] * eps) / a_t[i]
     a_t: Array                   # (S,) sqrt(alphas_cumprod[t])
     s_t: Array                   # (S,) sqrt(1 - alphas_cumprod[t])
     c_x0: Array                  # (S,)
     c_eps: Array                 # (S,)
+    sigma: Array                 # (S,) eta-scaled DDIM variance
+    eta: float = 0.0
     init_noise_sigma: float = 1.0
 
     @property
@@ -40,7 +43,8 @@ class DDIMSchedule:
 def make(num_inference_steps: int, num_train_timesteps: int = 1000,
          beta_start: float = 0.00085, beta_end: float = 0.012,
          beta_schedule: str = "scaled_linear", spacing: str = "leading_ddim",
-         steps_offset: int = 1, set_alpha_to_one: bool = False) -> DDIMSchedule:
+         steps_offset: int = 1, set_alpha_to_one: bool = False,
+         eta: float = 0.0) -> DDIMSchedule:
     betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
     ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
@@ -53,22 +57,33 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
 
     a_t = np.sqrt(acp_t)
     s_t = np.sqrt(1.0 - acp_t)
+    # eta-scaled variance (scheduling_ddim.py _get_variance)
+    variance = (1.0 - acp_prev) / (1.0 - acp_t) * (1.0 - acp_t / acp_prev)
+    sigma = eta * np.sqrt(np.maximum(variance, 0.0))
     c_x0 = np.sqrt(acp_prev)
-    c_eps = np.sqrt(1.0 - acp_prev)
+    c_eps = np.sqrt(np.maximum(1.0 - acp_prev - sigma ** 2, 0.0))
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return DDIMSchedule(timesteps=ts, timesteps_jax=jnp.asarray(ts),
                         a_t=f32(a_t), s_t=f32(s_t), c_x0=f32(c_x0),
-                        c_eps=f32(c_eps))
+                        c_eps=f32(c_eps), sigma=f32(sigma), eta=eta)
 
 
-def step(sched: DDIMSchedule, i: Array, model_output: Array, sample: Array) -> Array:
-    """One DDIM step; i is the step index (0-based, traced or static)."""
+def step(sched: DDIMSchedule, i: Array, model_output: Array, sample: Array,
+         noise_key=None) -> Array:
+    """One DDIM step; i is the step index (0-based, traced or static).
+    For eta > 0 pass noise_key (per-call fold_in recommended)."""
     a_t = sched.a_t[i]
     s_t = sched.s_t[i]
-    x0 = (sample - s_t * model_output.astype(jnp.float32)) / a_t
-    return (sched.c_x0[i] * x0 + sched.c_eps[i] * model_output.astype(jnp.float32)
-            ).astype(sample.dtype)
+    eps = model_output.astype(jnp.float32)
+    x0 = (sample - s_t * eps) / a_t
+    out = sched.c_x0[i] * x0 + sched.c_eps[i] * eps
+    if sched.eta > 0.0:
+        assert noise_key is not None, "eta > 0 needs a noise key"
+        noise = jax.random.normal(jax.random.fold_in(noise_key, i),
+                                  sample.shape, jnp.float32)
+        out = out + sched.sigma[i] * noise
+    return out.astype(sample.dtype)
 
 
 def add_noise(sched_acp_sqrt: Array, sched_1m_acp_sqrt: Array, t: Array,

@@ -121,3 +121,30 @@ def test_dpmsolver_trajectory_matches_diffusers(steps):
         state = jdpm.step(sched, jnp.asarray(i), jnp.asarray(outs[i]), state)
     assert_close(np.asarray(jdpm.final_sample(state)), x_ref.numpy(),
                  atol=5e-4, rtol=5e-3, name=f"dpm{steps}")
+
+
+def test_ddim_eta_variance_matches_diffusers():
+    """eta>0 DDIM: compare against the torch scheduler fed the SAME noise."""
+    from blobctrl_tpu.schedulers import ddim as jddim2
+    import_diffusers()
+    from diffusers import DDIMScheduler
+    steps, eta = 10, 0.7
+    ref_sched = DDIMScheduler(beta_start=0.00085, beta_end=0.012,
+                              beta_schedule="scaled_linear", steps_offset=1,
+                              clip_sample=False, set_alpha_to_one=False)
+    ref_sched.set_timesteps(steps)
+    sched = jddim2.make(steps, eta=eta)
+
+    outs = fake_model_outputs(steps, seed=77)
+    key = jax.random.PRNGKey(4)
+    x_ref = torch.from_numpy(np.ones(SHAPE, np.float32))
+    x = jnp.asarray(np.ones(SHAPE, np.float32))
+    for i, t in enumerate(ref_sched.timesteps):
+        noise = np.asarray(jax.random.normal(jax.random.fold_in(key, i),
+                                             SHAPE, jnp.float32))
+        x_ref = ref_sched.step(torch.from_numpy(outs[i]), t, x_ref, eta=eta,
+                               variance_noise=torch.from_numpy(noise)).prev_sample
+        x = jddim2.step(sched, jnp.asarray(i), jnp.asarray(outs[i]), x,
+                        noise_key=key)
+    assert_close(np.asarray(x), x_ref.numpy(), atol=1e-3, rtol=1e-2,
+                 name="ddim_eta")
