@@ -2,9 +2,13 @@
 host-side into coefficient tables; the jitted step is two multiplies and an
 add, indexable from inside lax.fori_loop.
 
-Numerics match diffusers DDIMScheduler (eta=0, epsilon prediction,
-clip_sample=False — the SD-1.5 configuration;
+Numerics match diffusers DDIMScheduler (epsilon prediction,
+clip_sample=False — the SD-1.5 configuration — for any eta; eta>0 adds the
+DDIM variance noise, parity-tested against diffusers' `variance_noise` path;
 /root/reference/diffusers/src/diffusers/schedulers/scheduling_ddim.py).
+Note: the BlobNetPipeline exposes the reference's default (eta=0); stochastic
+DDIM is a scheduler-level capability used directly via make(eta=...) +
+step(..., noise_key=...).
 """
 
 from __future__ import annotations

@@ -125,7 +125,7 @@ def test_dpmsolver_trajectory_matches_diffusers(steps):
 
 def test_ddim_eta_variance_matches_diffusers():
     """eta>0 DDIM: compare against the torch scheduler fed the SAME noise."""
-    from blobctrl_tpu.schedulers import ddim as jddim2
+    jddim2 = jddim  # module-level import
     import_diffusers()
     from diffusers import DDIMScheduler
     steps, eta = 10, 0.7
