@@ -58,8 +58,13 @@ def build_demo(session):
             session.generate_blob()
             return session.blob_visualization()
 
+        # the sliders hold absolute offsets; apply only the delta since the
+        # last release so repeated releases don't compound moves
+        last_move = {"x": 0.0, "y": 0.0}
+
         def on_move(x, y):
-            session.move(x, y)
+            session.move(x - last_move["x"], y - last_move["y"])
+            last_move["x"], last_move["y"] = x, y
             return session.blob_visualization()
 
         def on_resize(f):

@@ -36,7 +36,14 @@ def initialize_image(img: np.ndarray, size: int = 512) -> np.ndarray:
     if max(h, w) / min(h, w) > 2.0:
         raise ValueError("image aspect ratio cannot be larger than 2.0")
     scale = size / min(h, w)
-    img = cv2.resize(img, (int(w * scale), int(h * scale)))
+    # round (not truncate): int() can yield a 511-px short side for some
+    # inputs, making the center crop degenerate (same flaw as the reference)
+    nw, nh = max(round(w * scale), size), max(round(h * scale), size)
+    if w <= h:
+        nw = size
+    else:
+        nh = size
+    img = cv2.resize(img, (nw, nh))
     h, w = img.shape[:2]
     y0, x0 = (h - size) // 2, (w - size) // 2
     return img[y0:y0 + size, x0:x0 + size].copy()

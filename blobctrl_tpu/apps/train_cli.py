@@ -92,7 +92,11 @@ def main():
     cfg = ts.TrainConfig(learning_rate=args.learning_rate)
     key = jax.random.PRNGKey(0)
     lora_params = lora_lib.init_lora(key, pipe.unet_params, rank=args.lora_rank)
-    state = ts.init_train_state(cfg, pipe.blobnet_params, lora_params)
+    # trainable master weights must be fp32 — bf16 masters round away ~1e-5
+    # AdamW updates (compute still runs in bf16 via TrainConfig.compute_dtype)
+    blobnet_fp32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32), pipe.blobnet_params)
+    state = ts.init_train_state(cfg, blobnet_fp32, lora_params)
     if args.resume and ckpt_lib.latest_step(args.ckpt_dir) is not None:
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)

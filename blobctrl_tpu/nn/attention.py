@@ -57,8 +57,11 @@ def _use_flash(q_seq: int, kv_seq: int, head_dim: int, has_mask: bool) -> bool:
         return False
     if has_mask:
         return False
-    backend = jax.default_backend()
-    if backend != "tpu":
+    if jax.default_backend() != "tpu":
+        return False
+    if kv_seq % 128 != 0:
+        # the kernel cannot tile such kv (77-token cross-attention) —
+        # always the XLA path, even when the backend is forced to "pallas"
         return False
     if _ATTENTION_BACKEND == "pallas":
         return True

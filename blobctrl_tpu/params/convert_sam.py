@@ -175,6 +175,8 @@ def _convert_original(sd: Dict[str, Any]) -> Dict[str, Any]:
         nk = nk.replace("image_encoder.pos_embed", "vision_encoder.pos_embed")
         nk = nk.replace(".norm1.", ".layer_norm1.")
         nk = nk.replace(".norm2.", ".layer_norm2.")
+        nk = nk.replace(".norm3.", ".layer_norm3.")
+        nk = nk.replace(".norm4.", ".layer_norm4.")
         # neck: Sequential(conv1, LN, conv2, LN)
         nk = nk.replace("image_encoder.neck.0.", "vision_encoder.neck.conv1.")
         nk = nk.replace("image_encoder.neck.1.", "vision_encoder.neck.layer_norm1.")

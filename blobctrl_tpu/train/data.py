@@ -77,6 +77,10 @@ class BlobDataLoader:
                  masks: List[np.ndarray], prompt_embeds: List[np.ndarray],
                  batch_size: int, size: int = 512, seed: int = 0):
         assert len(images) == len(masks) == len(prompt_embeds)
+        if len(images) < batch_size:
+            raise ValueError(
+                f"dataset has {len(images)} examples but batch_size is "
+                f"{batch_size}; the loader would yield zero batches")
         self.examples = [build_example(pipeline, im, mk, pe, size)
                          for im, mk, pe in zip(images, masks, prompt_embeds)]
         self.batch_size = batch_size

@@ -95,6 +95,12 @@ def test_sam_original_key_format(tiny):
                .replace("vision_encoder.neck.layer_norm2.", "image_encoder.neck.3."))
         if nk.startswith("image_encoder.blocks."):
             nk = nk.replace(".layer_norm1.", ".norm1.").replace(".layer_norm2.", ".norm2.")
+        if nk.startswith("mask_decoder.transformer.layers."):
+            # the real sam_vit_h checkpoint uses norm1..norm4 in decoder layers
+            nk = (nk.replace(".layer_norm1.", ".norm1.")
+                    .replace(".layer_norm2.", ".norm2.")
+                    .replace(".layer_norm3.", ".norm3.")
+                    .replace(".layer_norm4.", ".norm4."))
         nk = (nk.replace("transformer.layer_norm_final_attn.", "transformer.norm_final_attn.")
                 .replace("prompt_encoder.shared_embedding.positional_embedding",
                          "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix")
