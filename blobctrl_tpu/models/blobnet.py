@@ -154,12 +154,17 @@ def blobnet_apply(params, cfg: BlobNetConfig, sample: Array, timesteps: Array,
             scale = scale[:, None, None, None]
 
     if guess_mode:
-        # logspace 0.1 -> 1.0 ramp over the down path, last value for mid/up
-        # (blobnet.py:929-934 semantics)
+        # logspace 0.1 -> 1.0 ramp (blobnet.py:929-934): down residuals get
+        # ramp[:-1], mid gets ramp[-1], and up residuals are zip'd against
+        # the SAME ramp — which in the reference silently TRUNCATES the up
+        # list when len(up) > len(ramp) (true for SD-1.5: 15 > 13, which
+        # would break the injection count). We reproduce the ramp pairing
+        # but keep all residuals, extending with ramp[-1].
         ramp = jnp.logspace(-1, 0, len(down_states) + 1)
         down_scales = [scale * r for r in ramp[:-1]]
         mid_scale = scale * ramp[-1]
-        up_scales = [scale * ramp[-1]] * len(up_states)
+        up_scales = [scale * ramp[min(i, len(ramp) - 1)]
+                     for i in range(len(up_states))]
     else:
         down_scales = [scale] * len(down_states)
         mid_scale = scale
