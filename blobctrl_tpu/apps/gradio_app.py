@@ -46,8 +46,12 @@ def build_demo(session):
                 mask_view = gr.Image(label="Segmentation")
                 results = gr.Gallery(label="Results")
 
+        def reset_move_state():
+            last_move["x"] = last_move["y"] = 0.0
+
         def on_upload(img):
             session.set_image(np.asarray(img))
+            reset_move_state()
             return session.original_image
 
         def on_click(img, evt: gr.SelectData):
@@ -56,6 +60,7 @@ def build_demo(session):
 
         def on_gen_blob():
             session.generate_blob()
+            reset_move_state()
             return session.blob_visualization()
 
         # the sliders hold absolute offsets; apply only the delta since the
@@ -77,10 +82,12 @@ def build_demo(session):
 
         def on_undo():
             session.undo()
+            reset_move_state()
             return session.blob_visualization()
 
         def on_reset():
             session.reset()
+            reset_move_state()
             return session.blob_visualization()
 
         def on_run(p, st, n_steps, sd, remove):

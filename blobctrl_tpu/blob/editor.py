@@ -65,7 +65,9 @@ def resize_ellipse(ellipse: Ellipse, factor: float, height: int, width: int,
     (xc, yc), (d1, d2), angle = ellipse
     warnings: List[str] = []
     too_big = too_small = False
-    while True:
+    # the bounds and min-area constraints can conflict (tiny blob at a canvas
+    # corner): the reference's +/-0.1 loop then ping-pongs forever — bound it
+    for _ in range(100):
         if resize_type == 0:
             rd1, rd2 = d1 * factor, d2 * factor
         elif resize_type == 1:
@@ -87,6 +89,9 @@ def resize_ellipse(ellipse: Ellipse, factor: float, height: int, width: int,
         else:
             too_big = True
             factor -= 0.1
+    else:
+        warnings.append("resize constraints conflict (blob pinned near the "
+                        "canvas edge); keeping the last attempted size")
     if too_big:
         warnings.append(f"blob too big; factor reduced to {factor:.2f} "
                         f"(allowed overshoot {EXCEED_THRESHOLD})")

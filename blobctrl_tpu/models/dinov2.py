@@ -52,16 +52,45 @@ def _attn(params, x: Array, heads: int) -> Array:
     return layers.linear(params["out"], out.transpose(0, 2, 1, 3).reshape(b, s, c))
 
 
+def _torch_bicubic_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) interpolation matrix matching torch F.interpolate
+    mode='bicubic', align_corners=False, antialias=False (a = -0.75).
+    Built host-side with numpy (static shapes)."""
+    a = -0.75
+
+    def cubic(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1, ((a + 2) * x - (a + 3)) * x * x + 1,
+            np.where(x < 2, (((x - 5) * x + 8) * x - 4) * a, 0.0))
+
+    scale = src / dst
+    coords = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    base = np.floor(coords).astype(np.int64)
+    frac = coords - base
+    mat = np.zeros((dst, src))
+    for k in range(-1, 3):
+        w = cubic(k - frac)
+        idx = np.clip(base + k, 0, src - 1)
+        np.add.at(mat, (np.arange(dst), idx), w)
+    return mat
+
+
 def interpolate_pos_embed(pos: Array, src_grid: int, dst_hw: Tuple[int, int]) -> Array:
     """(1+N, C) position table -> (1+gh*gw, C), CLS untouched, bicubic over
-    the patch grid (transformers Dinov2Embeddings.interpolate_pos_encoding)."""
+    the patch grid matching transformers Dinov2Embeddings
+    .interpolate_pos_encoding (torch bicubic, NO antialias — jax.image.resize
+    antialiases on downscale and diverges badly at the production
+    37x37 -> 16x16 path)."""
     gh, gw = dst_hw
     if src_grid * src_grid + 1 == 1 + gh * gw and src_grid == gh == gw:
         return pos
     cls_tok, patch = pos[:1], pos[1:]
     c = patch.shape[-1]
-    grid = patch.reshape(src_grid, src_grid, c)
-    resized = jax.image.resize(grid.astype(jnp.float32), (gh, gw, c), "bicubic")
+    grid = patch.reshape(src_grid, src_grid, c).astype(jnp.float32)
+    wh = jnp.asarray(_torch_bicubic_matrix(src_grid, gh), jnp.float32)
+    ww = jnp.asarray(_torch_bicubic_matrix(src_grid, gw), jnp.float32)
+    resized = jnp.einsum("hs,swc,wt->htc", wh, grid, ww.T)
     return jnp.concatenate([cls_tok, resized.reshape(gh * gw, c).astype(pos.dtype)], 0)
 
 

@@ -111,10 +111,12 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
     torch lora_A: (r, in) -> A (in, r); lora_B: (out, r) -> B (r, out)."""
     out: Dict[str, Any] = {}
     rank = None
+    unrecognized: List[str] = []
     for key, tensor in state_dict.items():
         k = key.replace(".lora.down.", ".lora_A.").replace(".lora.up.", ".lora_B.")
         m = _PEFT_RE.match(k)
         if not m:
+            unrecognized.append(key)
             continue
         body, ab = m.group("body"), m.group("ab")
         parts = body.split(".")
@@ -129,6 +131,15 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
                 norm.append("to_out")
                 if i + 1 < len(parts) and parts[i + 1] == "0":
                     i += 1
+            elif p == "ff" and parts[i + 1:i + 3] == ["net", "0"]:
+                # ff.net.0.proj -> ff/proj_in (GEGLU input projection)
+                norm += ["ff", "proj_in"]
+                i += 4 if parts[i + 3:i + 4] == ["proj"] else 3
+                continue
+            elif p == "ff" and parts[i + 1:i + 3] == ["net", "2"]:
+                norm += ["ff", "proj_out"]
+                i += 3
+                continue
             elif p == "processor":
                 i += 1
                 continue
@@ -138,6 +149,10 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
         path_key = "/".join(norm)
         arr = np.asarray(tensor.detach().cpu().float().numpy()
                          if hasattr(tensor, "detach") else tensor)
+        if arr.ndim != 2:
+            raise NotImplementedError(
+                f"LoRA on non-linear module not supported: {key} "
+                f"(shape {arr.shape})")
         entry = out.setdefault(path_key, {})
         if ab == "lora_A":
             entry["A"] = jnp.asarray(arr.T)
@@ -145,5 +160,9 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
         else:
             entry["B"] = jnp.asarray(arr.T)
             rank = arr.shape[1]
+    if unrecognized:
+        raise ValueError(
+            f"{len(unrecognized)} LoRA keys not recognized (e.g. "
+            f"{unrecognized[:3]}); extend convert_lora_state_dict's mapping")
     assert rank is not None, "no LoRA keys recognized"
     return out

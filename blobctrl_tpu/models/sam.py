@@ -246,13 +246,17 @@ def mask_decoder(params, cfg: SAMConfig, image_embeddings: Array,
     queries, keys = tokens, src
     for layer in params["transformer"]["layers"]:
         is_first = layer is params["transformer"]["layers"][0]
-        # self attention on tokens (queries + prompt pe as q/k on later layers)
+        # self attention on tokens. Layer 0 (skip_first_layer_pe) REPLACES
+        # queries with the attention output — no residual (SAM semantics);
+        # later layers add token embeddings as q/k pe and keep the residual.
         if is_first:
-            attn_out = _decoder_attn(layer["self_attn"], queries, queries, queries, heads)
+            queries = _decoder_attn(layer["self_attn"], queries, queries,
+                                    queries, heads)
         else:
             q = queries + tokens
-            attn_out = _decoder_attn(layer["self_attn"], q, q, queries, heads)
-        queries = layers.layer_norm(layer["layer_norm1"], queries + attn_out, eps)
+            queries = queries + _decoder_attn(layer["self_attn"], q, q,
+                                              queries, heads)
+        queries = layers.layer_norm(layer["layer_norm1"], queries, eps)
         # cross attention token -> image
         q = queries + tokens
         k = keys + pos_src
@@ -308,12 +312,13 @@ def mask_decoder(params, cfg: SAMConfig, image_embeddings: Array,
 
 
 def _conv_transpose(params, x: Array, stride: int) -> Array:
-    """2x2 stride-2 transposed conv (NHWC, kernel stored HWIO for the
-    *transposed* op: (kh, kw, c_in, c_out))."""
+    """2x2 stride-2 transposed conv matching torch ConvTranspose2d exactly:
+    kernel stored (kh, kw, c_out, c_in) + transpose_kernel=True (which flips
+    spatial taps and swaps I/O — without it the 2x2 sub-pixels are swapped)."""
     kernel = params["kernel"].astype(x.dtype)
     y = jax.lax.conv_transpose(
         x, kernel, strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y

@@ -40,8 +40,10 @@ def _conv(t):
 
 
 def _convt(t):
-    # torch ConvTranspose2d weight (c_in, c_out, kh, kw) -> (kh, kw, c_in, c_out)
-    return jnp.asarray(_np(t).transpose(2, 3, 0, 1))
+    # torch ConvTranspose2d weight (c_in, c_out, kh, kw) -> (kh, kw, c_out,
+    # c_in), consumed with jax.lax.conv_transpose(transpose_kernel=True)
+    # (the exact torch-equivalent; verified numerically)
+    return jnp.asarray(_np(t).transpose(2, 3, 1, 0))
 
 
 def convert_sam(state_dict: Dict[str, Any]) -> Dict[str, Any]:

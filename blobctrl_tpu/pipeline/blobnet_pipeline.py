@@ -58,8 +58,12 @@ def preprocess_image(image, height: int, width: int) -> np.ndarray:
             image = image.resize((width, height), Image.LANCZOS)
         image = np.asarray(image, dtype=np.float32) / 255.0
     else:
-        image = np.asarray(image, dtype=np.float32)
-        if image.max() > 1.5:
+        arr = np.asarray(image)
+        # decide normalization by DTYPE, not by value (a near-black uint8
+        # image with max<=1 is still 0..255-scaled)
+        is_int = np.issubdtype(arr.dtype, np.integer)
+        image = arr.astype(np.float32)
+        if is_int or image.max() > 1.5:
             image = image / 255.0
         if image.shape[-3] != height or image.shape[-2] != width:
             from blobctrl_tpu.nn import layers
@@ -161,32 +165,43 @@ class BlobNetPipeline:
                                             num_images_per_prompt, axis=0)
         return jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
 
-    @functools.partial(jax.jit, static_argnums=0)
+    # params are jit ARGUMENTS (not baked-in constants), so shard_to_mesh /
+    # param swaps take effect; configs/dtype are trace-time constants.
+
     def _encode_image(self, image: Array) -> Array:
         """VAE encode to scaled latents, deterministic (distribution mode)."""
-        return vae_lib.encode_to_scaled_latents(
-            self.vae_params, self.vae_cfg, image.astype(self.dtype))
+        if not hasattr(self, "_encode_image_fn"):
+            self._encode_image_fn = jax.jit(
+                lambda params, img: vae_lib.encode_to_scaled_latents(
+                    params, self.vae_cfg, img.astype(self.dtype)))
+        return self._encode_image_fn(self.vae_params, image)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def _decode_latents(self, latents: Array) -> Array:
-        img = vae_lib.decode_from_scaled_latents(
-            self.vae_params, self.vae_cfg, latents.astype(self.dtype))
-        return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+        if not hasattr(self, "_decode_latents_fn"):
+            self._decode_latents_fn = jax.jit(
+                lambda params, lat: jnp.clip(
+                    vae_lib.decode_from_scaled_latents(
+                        params, self.vae_cfg, lat.astype(self.dtype)
+                    ).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
+        return self._decode_latents_fn(self.vae_params, latents)
 
-    @functools.partial(jax.jit, static_argnums=0)
     def _encode_dino(self, pixel_values: Array) -> Array:
-        _, pooled = dino_lib.apply(self.dino_params, self.dino_cfg,
-                                   pixel_values.astype(self.dtype))
-        return pooled.astype(jnp.float32)
+        if not hasattr(self, "_encode_dino_fn"):
+            self._encode_dino_fn = jax.jit(
+                lambda params, px: dino_lib.apply(
+                    params, self.dino_cfg, px.astype(self.dtype)
+                )[1].astype(jnp.float32))
+        return self._encode_dino_fn(self.dino_params, pixel_values)
 
     # ------------------------------------------------------------------
     # jitted denoise loop
     # ------------------------------------------------------------------
 
     def _get_denoise_fn(self, scheduler_name: str, num_steps: int,
-                        guidance_scale: float, do_cfg: bool,
-                        use_blobnet: bool = True):
-        key = (scheduler_name, num_steps, guidance_scale, do_cfg, use_blobnet)
+                        do_cfg: bool, use_blobnet: bool = True):
+        # guidance_scale is a traced operand (sweeping it must not recompile
+        # the 50-step graph), so it is NOT part of the cache key
+        key = (scheduler_name, num_steps, do_cfg, use_blobnet)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -204,9 +219,10 @@ class BlobNetPipeline:
         def crop_right(r: Array) -> Array:
             return r[:, :, r.shape[2] - r.shape[1]:, :]
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
+        @jax.jit  # no donation: caller-supplied latents must stay valid
         def denoise(unet_params, blobnet_params, latents, prompt_embeds,
-                    fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales):
+                    fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales,
+                    guidance_scale):
             """latents: (B, h, w, 4) f32. fg/bg_lat: (CB, h, w, 4);
             fg/bg_score: (CB, h, w, 1); fg_feats: (CB, h, w, Cd);
             cond_scales: (S,) f32. CB = CFG batch (2B or B).
@@ -422,11 +438,11 @@ class BlobNetPipeline:
 
         use_blobnet = bool(np.any(cond_scales != 0.0))
         denoise, sched = self._get_denoise_fn(scheduler, num_inference_steps,
-                                              float(guidance_scale), do_cfg,
-                                              use_blobnet)
+                                              do_cfg, use_blobnet)
         final = denoise(self.unet_params, self.blobnet_params, latents, pe,
                         fg_lat, bg_lat, fg_score, bg_score, fg_feats,
-                        jnp.asarray(cond_scales))
+                        jnp.asarray(cond_scales),
+                        jnp.asarray(float(guidance_scale), jnp.float32))
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(final))

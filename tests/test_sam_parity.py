@@ -71,10 +71,14 @@ def test_sam_end_to_end_mask_parity(tiny):
     pe = sam_lib.image_grid_pe(params["prompt"], jcfg)
     masks, iou = sam_lib.mask_decoder(params["decoder"], jcfg, emb, pe, sparse, dense)
     masks, iou = sam_lib.select_mask(masks, iou, multimask=True)
-    assert_close(np.asarray(masks[0]), ref_masks, atol=5e-3, rtol=5e-2,
-                 name="sam_masks")
-    assert_close(np.asarray(iou[0]), ref_iou, atol=5e-3, rtol=5e-2,
-                 name="sam_iou")
+    # normalize by the reference's own scale: random-init mask logits are
+    # ~1e-5, so a raw atol would accept anything (incl. all-zeros)
+    mscale = max(float(np.abs(ref_masks).max()), 1e-12)
+    assert_close(np.asarray(masks[0]) / mscale, ref_masks / mscale,
+                 atol=2e-3, rtol=2e-2, name="sam_masks")
+    iscale = max(float(np.abs(ref_iou).max()), 1e-12)
+    assert_close(np.asarray(iou[0]) / iscale, ref_iou / iscale,
+                 atol=2e-3, rtol=2e-2, name="sam_iou")
 
 
 def test_sam_original_key_format(tiny):
