@@ -378,41 +378,63 @@ class BlobNetPipeline:
                 latents = jnp.transpose(latents, (0, 2, 3, 1))
 
         # image conditioning
-        fg = jnp.asarray(preprocess_image(fg_image, height, width))
+        # multi-blob: fg_image may be a list of object canvases; the VAE
+        # left-half conditioning uses the first (pass a combined canvas for
+        # joint conditioning), while DINOv2 embeds each object separately
+        fg_vae_image = (fg_image[0] if isinstance(fg_image, (list, tuple))
+                        else fg_image)
+        fg = jnp.asarray(preprocess_image(fg_vae_image, height, width))
         bg = jnp.asarray(preprocess_image(bg_image, height, width))
         fg_lat = self._encode_image(fg).astype(jnp.float32)
         bg_lat = self._encode_image(bg).astype(jnp.float32)
         fg_lat = jnp.tile(fg_lat, (cfg_batch, 1, 1, 1))
         bg_lat = jnp.tile(bg_lat, (cfg_batch, 1, 1, 1))
 
-        # scores: accept NCHW (1,2,h,w) or NHWC (1,h,w,2)
+        # scores: accept NCHW (1,M+1,h,w) or NHWC (1,h,w,M+1). Slot 0 is the
+        # background layer; slots 1..M are depth-ordered fg blobs. M=1 is the
+        # reference's case; M>1 generalizes it (compositional multi-object
+        # edits): the BlobNet score channel is the sum of the composited fg
+        # layers (disjoint by construction) and the appearance splat pairs
+        # each blob with its own DINOv2 embedding.
         gs = jnp.asarray(gs_score, jnp.float32)
         if gs.ndim == 3:
             gs = gs[None]
-        if gs.shape[1] == 2 and gs.shape[-1] != 2:
+        if gs.shape[-1] > gs.shape[1]:  # NCHW: layer axis smaller than W
             gs = jnp.transpose(gs, (0, 2, 3, 1))
+        num_blobs = gs.shape[-1] - 1
         bg_score = gs[..., 0:1]
-        fg_score = gs[..., 1:2]
+        fg_layers = gs[..., 1:]                      # (1, h, w, M)
+        fg_score = jnp.sum(fg_layers, axis=-1, keepdims=True)
         bg_score = jnp.tile(bg_score, (cfg_batch, 1, 1, 1))
         fg_score = jnp.tile(fg_score, (cfg_batch, 1, 1, 1))
 
-        # DINOv2 appearance feature splat
+        # DINOv2 appearance feature splat. With M>1 blobs, fg_image may be a
+        # list of M object images (or fg_dino_feats (M, Cd)) — each blob's
+        # composited score layer splats its own appearance embedding.
         if fg_dino_feats is None:
             assert self.dino_params is not None, \
                 "DINOv2 params required unless fg_dino_feats is given"
-            if hasattr(fg_image, "convert"):
-                dino_in = np.asarray(fg_image.convert("RGB"), np.uint8)[None]
-            else:
-                arr = np.asarray(fg_image)
-                dino_in = arr[None] if arr.ndim == 3 else arr
-            px = dino_lib.preprocess(dino_in, size=self.dino_image_size)
-            pooled = self._encode_dino(jnp.asarray(px))  # (1, Cd)
+            fg_images = fg_image if isinstance(fg_image, (list, tuple)) else [fg_image]
+            dino_in = []
+            for im in fg_images:
+                if hasattr(im, "convert"):
+                    dino_in.append(np.asarray(im.convert("RGB"), np.uint8))
+                else:
+                    dino_in.append(np.asarray(im, np.uint8))
+            px = dino_lib.preprocess(np.stack(dino_in), size=self.dino_image_size)
+            pooled = self._encode_dino(jnp.asarray(px))  # (M', Cd)
         else:
             pooled = jnp.asarray(fg_dino_feats, jnp.float32)
             if pooled.ndim == 3:
                 pooled = pooled[:, 0]
-        # feature splat: fg score (per-pixel alpha) x appearance vector
-        fg_feats = fg_score * pooled[:, None, None, :]  # broadcast (CB,h,w,Cd)
+        if pooled.shape[0] == 1 and num_blobs > 1:
+            pooled = jnp.tile(pooled, (num_blobs, 1))
+        assert pooled.shape[0] == num_blobs, \
+            f"{pooled.shape[0]} appearance embeddings for {num_blobs} blobs"
+        # feature splat: per-blob score layers x per-blob appearance vectors
+        # (the general splat_features_from_scores, utils.py:74-77)
+        fg_feats = jnp.einsum("nhwm,mc->nhwc", fg_layers, pooled)
+        fg_feats = jnp.tile(fg_feats, (cfg_batch, 1, 1, 1))
 
         cond_scales = (blobnet_keep_schedule(num_inference_steps,
                                              blobnet_control_guidance_start,

@@ -86,3 +86,43 @@ def test_dead_path_guards(tiny):
     with pytest.raises(NotImplementedError, match="return_sample"):
         pipe(prompt_embeds=np.zeros((1, 7, 16), np.float32),
              return_sample=True)
+
+
+def test_multi_blob_edit(tiny):
+    """M=2 blobs with distinct appearance embeddings (beyond the reference's
+    single-blob pipeline; same math, generalized)."""
+    from blobctrl_tpu.blob import math as blob_math
+    rng = np.random.RandomState(7)
+    pipe = BlobNetPipeline(**tiny)
+    H = W = 64
+    fg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+
+    xs = np.array([[0.3, 0.7]], np.float32)
+    ys = np.array([[0.4, 0.6]], np.float32)
+    covs = np.zeros((1, 2, 2, 2), np.float32)
+    for j in range(2):
+        _, c = blob_math.ellipse_to_gaussian(0, 0, 0.08, 0.15, 0.4 + j)
+        covs[0, j] = c
+    gs = np.asarray(blob_math.splat_scores(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(covs),
+        jnp.ones((1, 2), np.float32), (8, 8)))  # (1,8,8,3)
+    assert gs.shape[-1] == 3
+
+    pe = rng.randn(1, 7, 16).astype(np.float32)
+    feats2 = rng.randn(2, 16).astype(np.float32)  # one embedding per blob
+    out = pipe(fg_image=fg, bg_image=bg, gs_score=gs, height=H, width=W,
+               num_inference_steps=2, guidance_scale=7.5,
+               prompt_embeds=pe, negative_prompt_embeds=pe,
+               fg_dino_feats=feats2).images
+    assert out.shape == (1, H, W, 3)
+    assert np.isfinite(out).all()
+
+    # single-blob path still matches the old semantics: M=1 with one feat
+    gs1 = np.asarray(blob_math.blob_score_from_ellipse(
+        ((32., 30.), (20., 30.), 10.), W, H, (8, 8)))
+    out1 = pipe(fg_image=fg, bg_image=bg, gs_score=gs1, height=H, width=W,
+                num_inference_steps=2, guidance_scale=7.5, prompt_embeds=pe,
+                negative_prompt_embeds=pe,
+                fg_dino_feats=feats2[:1]).images
+    assert np.isfinite(out1).all()
