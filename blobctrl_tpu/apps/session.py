@@ -154,6 +154,69 @@ class BlobCtrlSession:
                                                 (255, 255, 255))
 
     # ------------------------------------------------------------------
+    # multi-blob composition (beyond the reference: M blobs in one pass)
+    # ------------------------------------------------------------------
+
+    def run_multi(self, prompt: str, blobs, num_samples: int = 1,
+                  seed: int = 1248464818, guidance_scale: float = 7.5,
+                  num_inference_steps: int = 50,
+                  blobnet_control_strength: float = 1.2,
+                  blobnet_control_guidance_start: float = 0.0,
+                  blobnet_control_guidance_end: float = 1.0,
+                  bg_image: Optional[np.ndarray] = None,
+                  scheduler: str = "unipc") -> SessionResult:
+        """Edit M blobs jointly. ``blobs`` is a list of
+        (ellipse, object_image) pairs, back-to-front (later = on top).
+        The background must mask all edit regions (pass bg_image, or the
+        current image with each target region blacked out is built here)."""
+        import jax.numpy as jnp
+        size = self.size
+        lh, lw = size // 8, size // 8
+        m = len(blobs)
+        assert m >= 1
+
+        xs = np.zeros((1, m), np.float32)
+        ys = np.zeros((1, m), np.float32)
+        covs = np.zeros((1, m, 2, 2), np.float32)
+        for j, (ellipse, _) in enumerate(blobs):
+            mean, cov = blob_math.gaussian_from_ellipse(ellipse)
+            nmean, ncov = blob_math.normalize_gaussian(mean, cov, size, size)
+            xs[0, j], ys[0, j] = nmean
+            covs[0, j] = ncov
+        gs = np.asarray(blob_math.splat_scores(
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(covs),
+            jnp.ones((1, m), np.float32), (lh, lw)))
+
+        if bg_image is None:
+            assert self.original_image is not None, "set_image first"
+            bg = self.original_image
+            for ellipse, _ in blobs:
+                emask = viz_lib.ellipse_mask(ellipse, size, size)
+                bg = viz_lib.composite_mask_and_image(emask, bg, (0, 0, 0))
+        else:
+            bg = bg_image
+
+        fg_images = [obj for _, obj in blobs]
+        out = self.pipeline(
+            prompt=[prompt] * num_samples,
+            fg_image=fg_images, bg_image=bg, gs_score=gs,
+            height=size, width=size,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, seed=seed,
+            blobnet_conditioning_scale=float(blobnet_control_strength),
+            blobnet_control_guidance_start=float(blobnet_control_guidance_start),
+            blobnet_control_guidance_end=float(blobnet_control_guidance_end),
+            scheduler=scheduler)
+        plots = []
+        for img in out.images:
+            arr = (img * 255).astype(np.uint8)
+            for ellipse, _ in blobs:
+                arr = viz_lib.draw_ellipse(arr, ellipse)
+            plots.append(arr)
+        return SessionResult(images=out.images, images_with_ellipse=plots,
+                             final_ellipse=blobs[-1][0])
+
+    # ------------------------------------------------------------------
     # replayable state (reference demo state.json schema,
     # assets/results/demo/*/state/state.json)
     # ------------------------------------------------------------------

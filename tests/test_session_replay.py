@@ -148,3 +148,21 @@ def test_session_state_roundtrip(tiny_pipeline, tmp_path):
     images, state2, _ = replay_lib.replay(pipe, out_dir, num_inference_steps=2,
                                           num_samples=1)
     assert images.shape == (1, 64, 64, 3)
+
+
+def test_session_multi_blob(tiny_pipeline):
+    cv2 = pytest.importorskip("cv2")
+    pipe = fake_prompt_encoder(tiny_pipeline)  # per-blob DINOv2 still real
+    sess = session_lib.BlobCtrlSession(pipe, size=64)
+    rng = np.random.RandomState(5)
+    sess.set_image(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8))
+    obj1 = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    obj2 = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = sess.run_multi(
+        "two things", num_inference_steps=2,
+        blobs=[(((20.0, 20.0), (16.0, 24.0), 10.0), obj1),
+               (((44.0, 40.0), (14.0, 20.0), 80.0), obj2)],
+        guidance_scale=7.5)
+    assert res.images.shape == (1, 64, 64, 3)
+    assert np.isfinite(res.images).all()
+    assert len(res.images_with_ellipse) == 1
