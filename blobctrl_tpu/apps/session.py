@@ -196,10 +196,18 @@ class BlobCtrlSession:
         else:
             bg = bg_image
 
-        fg_images = [obj for _, obj in blobs]
+        # VAE left-half conditioning sees ALL objects: composite every object
+        # canvas onto one (non-white pixels overwrite, back-to-front);
+        # DINOv2 still embeds each object separately.
+        fg_images = [np.asarray(obj) for _, obj in blobs]
+        canvas = fg_images[0].copy()
+        for obj in fg_images[1:]:
+            non_white = (obj.astype(np.int32).sum(-1) < 255 * 3 - 10)
+            canvas = np.where(non_white[..., None], obj, canvas)
         out = self.pipeline(
             prompt=[prompt] * num_samples,
-            fg_image=fg_images, bg_image=bg, gs_score=gs,
+            fg_image=fg_images, fg_vae_image=canvas,
+            bg_image=bg, gs_score=gs,
             height=size, width=size,
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, seed=seed,

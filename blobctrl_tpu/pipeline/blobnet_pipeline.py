@@ -168,30 +168,34 @@ class BlobNetPipeline:
     # params are jit ARGUMENTS (not baked-in constants), so shard_to_mesh /
     # param swaps take effect; configs/dtype are trace-time constants.
 
+    def _lazy_jit(self, name: str, make_fn):
+        fn = getattr(self, name, None)
+        if fn is None:
+            fn = jax.jit(make_fn())
+            setattr(self, name, fn)
+        return fn
+
     def _encode_image(self, image: Array) -> Array:
         """VAE encode to scaled latents, deterministic (distribution mode)."""
-        if not hasattr(self, "_encode_image_fn"):
-            self._encode_image_fn = jax.jit(
-                lambda params, img: vae_lib.encode_to_scaled_latents(
-                    params, self.vae_cfg, img.astype(self.dtype)))
-        return self._encode_image_fn(self.vae_params, image)
+        fn = self._lazy_jit("_encode_image_fn", lambda:
+                            lambda params, img: vae_lib.encode_to_scaled_latents(
+                                params, self.vae_cfg, img.astype(self.dtype)))
+        return fn(self.vae_params, image)
 
     def _decode_latents(self, latents: Array) -> Array:
-        if not hasattr(self, "_decode_latents_fn"):
-            self._decode_latents_fn = jax.jit(
-                lambda params, lat: jnp.clip(
-                    vae_lib.decode_from_scaled_latents(
-                        params, self.vae_cfg, lat.astype(self.dtype)
-                    ).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
-        return self._decode_latents_fn(self.vae_params, latents)
+        fn = self._lazy_jit("_decode_latents_fn", lambda:
+                            lambda params, lat: jnp.clip(
+                                vae_lib.decode_from_scaled_latents(
+                                    params, self.vae_cfg, lat.astype(self.dtype)
+                                ).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
+        return fn(self.vae_params, latents)
 
     def _encode_dino(self, pixel_values: Array) -> Array:
-        if not hasattr(self, "_encode_dino_fn"):
-            self._encode_dino_fn = jax.jit(
-                lambda params, px: dino_lib.apply(
-                    params, self.dino_cfg, px.astype(self.dtype)
-                )[1].astype(jnp.float32))
-        return self._encode_dino_fn(self.dino_params, pixel_values)
+        fn = self._lazy_jit("_encode_dino_fn", lambda:
+                            lambda params, px: dino_lib.apply(
+                                params, self.dino_cfg, px.astype(self.dtype)
+                            )[1].astype(jnp.float32))
+        return fn(self.dino_params, pixel_values)
 
     # ------------------------------------------------------------------
     # jitted denoise loop
@@ -336,6 +340,7 @@ class BlobNetPipeline:
                  scheduler: str = "unipc",
                  output_type: str = "np",
                  fg_dino_feats: Optional[np.ndarray] = None,
+                 fg_vae_image=None,
                  ip_adapter_image=None,
                  ip_adapter_image_embeds=None,
                  return_sample: bool = False) -> PipelineOutput:
@@ -379,10 +384,12 @@ class BlobNetPipeline:
 
         # image conditioning
         # multi-blob: fg_image may be a list of object canvases; the VAE
-        # left-half conditioning uses the first (pass a combined canvas for
-        # joint conditioning), while DINOv2 embeds each object separately
-        fg_vae_image = (fg_image[0] if isinstance(fg_image, (list, tuple))
-                        else fg_image)
+        # left-half conditioning uses fg_vae_image when given (a combined
+        # canvas), otherwise the first entry, while DINOv2 embeds each
+        # object separately
+        if fg_vae_image is None:
+            fg_vae_image = (fg_image[0] if isinstance(fg_image, (list, tuple))
+                            else fg_image)
         fg = jnp.asarray(preprocess_image(fg_vae_image, height, width))
         bg = jnp.asarray(preprocess_image(bg_image, height, width))
         fg_lat = self._encode_image(fg).astype(jnp.float32)
@@ -399,8 +406,14 @@ class BlobNetPipeline:
         gs = jnp.asarray(gs_score, jnp.float32)
         if gs.ndim == 3:
             gs = gs[None]
-        if gs.shape[-1] > gs.shape[1]:  # NCHW: layer axis smaller than W
-            gs = jnp.transpose(gs, (0, 2, 3, 1))
+        # exact layout check against the known latent grid
+        if gs.shape[1] == h and gs.shape[2] == w:
+            pass  # NHWC
+        elif gs.shape[2] == h and gs.shape[3] == w:
+            gs = jnp.transpose(gs, (0, 2, 3, 1))  # NCHW
+        else:
+            raise ValueError(f"gs_score shape {gs.shape} does not match the "
+                             f"latent grid ({h}, {w}) in NHWC or NCHW layout")
         num_blobs = gs.shape[-1] - 1
         bg_score = gs[..., 0:1]
         fg_layers = gs[..., 1:]                      # (1, h, w, M)
@@ -414,7 +427,13 @@ class BlobNetPipeline:
         if fg_dino_feats is None:
             assert self.dino_params is not None, \
                 "DINOv2 params required unless fg_dino_feats is given"
-            fg_images = fg_image if isinstance(fg_image, (list, tuple)) else [fg_image]
+            if isinstance(fg_image, (list, tuple)):
+                fg_images = fg_image
+            elif (not hasattr(fg_image, "convert")
+                  and np.asarray(fg_image).ndim == 4):
+                fg_images = list(np.asarray(fg_image))  # batched ndarray
+            else:
+                fg_images = [fg_image]
             dino_in = []
             for im in fg_images:
                 if hasattr(im, "convert"):
