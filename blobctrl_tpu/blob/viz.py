@@ -8,7 +8,6 @@ with a procedurally generated palette.
 from __future__ import annotations
 
 import colorsys
-import math
 from typing import Optional, Tuple
 
 import numpy as np

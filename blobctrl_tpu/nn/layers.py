@@ -15,7 +15,7 @@ LayerNorm statistics are computed in fp32 regardless of the compute dtype.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from blobctrl_tpu.nn import layers, resnet as rn, transformer_2d as t2d
+from blobctrl_tpu.nn import resnet as rn, transformer_2d as t2d
 
 Array = jax.Array
 
