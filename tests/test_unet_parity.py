@@ -166,3 +166,38 @@ def test_tiny_blobnet_parity():
     for i, (g, r) in enumerate(zip(gu, ru)):
         assert_close(nhwc_to_nchw(np.asarray(g)), r.numpy(), atol=2e-4,
                      rtol=2e-3, name=f"blobnet_up[{i}]")
+
+
+def test_four_level_sd_structure_parity():
+    """Full SD-1.5 block topology (4 levels, 3 CrossAttn + 1 plain down,
+    1 plain + 3 CrossAttn up) at small channels — catches per-level wiring
+    that the 2-level tests cannot (skip channels, upsample sizes, head
+    counts)."""
+    import_diffusers()
+    from diffusers import UNet2DConditionModel
+    torch.manual_seed(3)
+    boc = (8, 16, 32, 32)
+    tunet = UNet2DConditionModel(
+        sample_size=16, in_channels=4, out_channels=4,
+        block_out_channels=boc,
+        down_block_types=("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",),
+        up_block_types=("UpBlock2D",) + ("CrossAttnUpBlock2D",) * 3,
+        cross_attention_dim=16, attention_head_dim=2, norm_num_groups=4,
+        layers_per_block=2).eval()
+    params = convert.convert_unet(tunet.state_dict())
+    cfg = unet_lib.UNetConfig(
+        in_channels=4, out_channels=4, block_out_channels=boc,
+        down_block_has_attn=(True, True, True, False),
+        up_block_has_attn=(False, True, True, True),
+        layers_per_block=2, cross_attention_dim=16, num_heads=2,
+        norm_num_groups=4)
+
+    x = RNG.randn(1, 4, 16, 32).astype(np.float32)  # double-width too
+    ctx = RNG.randn(1, 7, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = tunet(torch.from_numpy(x), 123,
+                    encoder_hidden_states=torch.from_numpy(ctx)).sample.numpy()
+    got = unet_lib.unet_apply(params, cfg, jnp.asarray(nchw_to_nhwc(x)),
+                              jnp.asarray(123), jnp.asarray(ctx))
+    assert_close(nhwc_to_nchw(np.asarray(got)), ref, atol=5e-4, rtol=5e-3,
+                 name="sd_structure_unet")
