@@ -12,3 +12,20 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (keeps `import blobctrl_tpu` light)."""
+    if name == "BlobNetPipeline":
+        from blobctrl_tpu.pipeline import BlobNetPipeline
+        return BlobNetPipeline
+    if name == "BlobCtrlSession":
+        from blobctrl_tpu.apps.session import BlobCtrlSession
+        return BlobCtrlSession
+    if name == "load_pipeline":
+        from blobctrl_tpu.params.io import load_pipeline
+        return load_pipeline
+    if name == "SamPredictor":
+        from blobctrl_tpu.models.sam import SamPredictor
+        return SamPredictor
+    raise AttributeError(name)
