@@ -48,6 +48,53 @@ def annotate(name: str):
         yield
 
 
+def profile_op_breakdown(fn, *args, repeats: int = 3,
+                         log_dir: str = "/tmp/blobctrl_trace",
+                         top_k: int = 20) -> Dict[str, float]:
+    """Run `fn(*args)` under the profiler and return {op_name: ms_per_call}
+    bucketed from the TPU device timeline — the xplane trace parser that
+    works through the axon tunnel (where per-op timing via block_until_ready
+    does not)."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    jax.profiler.start_trace(log_dir)
+    try:
+        for _ in range(repeats):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        time.sleep(0.3)
+    finally:
+        jax.profiler.stop_trace()
+
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1], "rt") as fh:
+        trace = json.load(fh)
+    pids = {p["pid"]: p.get("args", {}).get("name", "")
+            for p in trace["traceEvents"]
+            if p.get("ph") == "M" and p.get("name") == "process_name"}
+    buckets: Dict[str, float] = collections.Counter()
+    for e in trace["traceEvents"]:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if "TPU" not in pids.get(e["pid"], ""):
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit"):
+            continue  # top-level envelope double-counts children
+        buckets[name.split(".")[0].split("(")[0][:48]] += e["dur"]
+    result = {k: round(v / repeats / 1000, 4)
+              for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])[:top_k]}
+    log_event("op_breakdown", **result)
+    return result
+
+
 class StepTimer:
     """Wall-clock phase timing with device sync; accumulates per-phase stats."""
 

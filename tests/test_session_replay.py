@@ -166,3 +166,21 @@ def test_session_multi_blob(tiny_pipeline):
     assert res.images.shape == (1, 64, 64, 3)
     assert np.isfinite(res.images).all()
     assert len(res.images_with_ellipse) == 1
+
+
+ALL_DEMOS = sorted(os.listdir(DEMO_ROOT)) if os.path.isdir(DEMO_ROOT) else []
+
+
+@pytest.mark.skipif(not ALL_DEMOS, reason="no demo assets")
+@pytest.mark.parametrize("demo", ALL_DEMOS)
+def test_replay_all_nine_golden_states(tiny_pipeline, demo):
+    """Every shipped demo state parses and runs end-to-end (1 step, tiny
+    weights) — the full-fidelity PSNR comparison additionally needs the
+    published checkpoints."""
+    pipe = fake_prompt_encoder(tiny_pipeline)
+    images, state, ellipse = replay_lib.replay(
+        pipe, os.path.join(DEMO_ROOT, demo), num_inference_steps=1,
+        num_samples=1)
+    assert images.shape == (1, 512, 512, 3)
+    assert np.isfinite(images).all()
+    assert ellipse[1][0] > 0
