@@ -126,3 +126,39 @@ def test_multi_blob_edit(tiny):
                 negative_prompt_embeds=pe,
                 fg_dino_feats=feats2[:1]).images
     assert np.isfinite(out1).all()
+
+
+def test_guidance_sweep_does_not_recompile(tiny):
+    """guidance_scale is a traced operand: sweeping it must reuse ONE
+    compiled denoise graph (regression for the static-bake bug)."""
+    rng = np.random.RandomState(0)
+    pipe = BlobNetPipeline(**tiny)
+    kw = dict(fg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+              bg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+              gs_score=np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32),
+              height=64, width=64, num_inference_steps=2,
+              prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+    out1 = pipe(guidance_scale=7.5, **kw).images
+    out2 = pipe(guidance_scale=9.0, **kw).images
+    assert len(pipe._denoise_cache) == 1
+    assert np.abs(out1 - out2).max() > 1e-4  # the scale actually matters
+
+
+def test_caller_latents_survive(tiny):
+    """The denoise loop must not donate caller-supplied jax-array latents."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    pipe = BlobNetPipeline(**tiny)
+    lat = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    kw = dict(fg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+              bg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+              gs_score=np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32),
+              height=64, width=64, num_inference_steps=2,
+              prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+    a = pipe(latents=lat, **kw).images
+    b = pipe(latents=lat, **kw).images  # same latents buffer reused
+    np.testing.assert_allclose(a, b, atol=1e-6)
