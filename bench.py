@@ -110,6 +110,24 @@ def main():
         assert imgs.shape[0] == batch
         batch_img_s = batch / batch_sec
 
+    # remove-mode edit (strength 0 -> statically UNet-only loop)
+    remove_sec = None
+    if os.environ.get("BENCH_REMOVE", "1") == "1":
+        from blobctrl_tpu.blob import math as blob_math_mod
+        gs_rm = np.asarray(blob_math_mod.removal_score((size // 8, size // 8)))
+
+        def run_remove():
+            return pipe(fg_image=fg, bg_image=bg, gs_score=gs_rm,
+                        height=size, width=size, num_inference_steps=steps,
+                        guidance_scale=7.5, latents=lat0, prompt_embeds=pe,
+                        negative_prompt_embeds=npe,
+                        blobnet_conditioning_scale=0.0,
+                        scheduler="unipc", fg_dino_feats=dino_feats).images
+        run_remove()
+        t0 = time.perf_counter()
+        run_remove()
+        remove_sec = time.perf_counter() - t0
+
     baseline_img_s_chip = 1.0 / 1.5 / 4.0
     print(json.dumps({
         "metric": f"img/s/chip, {steps}-step {size}^2 SD1.5+BlobNet edit (bf16, CFG, UniPC)",
@@ -119,6 +137,7 @@ def main():
         "edit_seconds": round(sec, 4),
         "times": [round(t, 4) for t in times],
         "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
+        "remove_edit_seconds": round(remove_sec, 4) if remove_sec else None,
         "device": str(jax.devices()[0]),
     }))
 
