@@ -126,6 +126,11 @@ class BlobCtrlSession:
     def rotate(self, degrees: float):
         return self.editor.rotate(degrees)
 
+    def resize_start_blob(self, factor: float, resize_type: int = 0):
+        """Resize the start ellipse — widens/shrinks the removal/white-out
+        region of the edited background (blobctrl_app.py:1280-1337)."""
+        return self.editor.resize_start(factor, resize_type)
+
     def undo(self):
         return self.editor.undo()
 

@@ -202,6 +202,17 @@ class BlobEditor:
         self.entries.append((e, (ar, lg, sh, rot), etype))
         return e, warn
 
+    def resize_start(self, factor: float, resize_type: int = 0
+                     ) -> Tuple[Ellipse, List[str]]:
+        """Resize the START ellipse (entries[0]) in place — this changes the
+        white-out source region of the edited background, not the target
+        (blobctrl_app.py:1280-1337: ellipse_lists[0] = (edited, params, 0))."""
+        e0, params0, _ = self.entries[0]
+        e, _, warn = resize_ellipse(e0, factor, self.height, self.width,
+                                    resize_type)
+        self.entries[0] = (e, params0, EDIT_INIT)
+        return e, warn
+
     def rotate(self, degrees: float) -> Ellipse:
         e = rotate_ellipse(self.current, degrees)
         ar, lg, sh, _ = self._params()

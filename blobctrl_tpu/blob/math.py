@@ -62,7 +62,11 @@ def gaussian_to_ellipse(mean: np.ndarray, cov: np.ndarray
     """Inverse of ellipse_to_gaussian: returns (x, y, a, b, angle_deg) where
     angle_deg is the clockwise angle of the SHORT axis in [0, 180)."""
     x, y = float(mean[0]), float(mean[1])
-    eigenvalues, eigenvectors = np.linalg.eig(np.asarray(cov, dtype=np.float64))
+    # eigh (on the symmetrized matrix) guarantees real eigenpairs; eig can
+    # return complex-typed results on near-degenerate covariances
+    cov = np.asarray(cov, dtype=np.float64)
+    eigenvalues, eigenvectors = np.linalg.eigh((cov + cov.T) / 2.0)
+    eigenvalues = np.maximum(eigenvalues, 0.0)
     b = float(np.sqrt(np.max(eigenvalues)))
     a = float(np.sqrt(np.min(eigenvalues)))
     min_vec = eigenvectors[:, int(np.argmin(eigenvalues))]

@@ -170,9 +170,13 @@ def blobnet_apply(params, cfg: BlobNetConfig, sample: Array, timesteps: Array,
         mid_scale = scale
         up_scales = [scale] * len(up_states)
 
+    # strict zips: a config/checkpoint mismatch must raise, not silently drop
+    # residuals (the defect class of reference quirk 1, SURVEY.md §5)
     down_res = [layers.conv2d(zp, s) * sc
-                for zp, s, sc in zip(params["zero_down"], down_states, down_scales)]
+                for zp, s, sc in zip(params["zero_down"], down_states,
+                                     down_scales, strict=True)]
     mid_res = layers.conv2d(params["zero_mid"], mid_state) * mid_scale
     up_res = [layers.conv2d(zp, s) * sc
-              for zp, s, sc in zip(params["zero_up"], up_states, up_scales)]
+              for zp, s, sc in zip(params["zero_up"], up_states, up_scales,
+                                   strict=True)]
     return down_res, mid_res, up_res

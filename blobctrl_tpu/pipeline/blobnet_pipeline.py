@@ -51,25 +51,38 @@ class PipelineOutput:
 def preprocess_image(image, height: int, width: int) -> np.ndarray:
     """PIL/ndarray -> (1, H, W, 3) float32 in [-1, 1]. Host-side; matches
     VaeImageProcessor.preprocess (PIL lanczos resize, then scale)."""
+    if not hasattr(image, "convert"):
+        arr = np.asarray(image)
+        # decide normalization by DTYPE, not by value (a near-black uint8
+        # image with max<=1 is still 0..255-scaled)
+        is_int = np.issubdtype(arr.dtype, np.integer)
+        if is_int and arr.ndim == 3:
+            # integer images take the exact PIL uint8 path below, so the same
+            # pixels give bit-identical latents regardless of input type
+            from PIL import Image
+            image = Image.fromarray(arr.astype(np.uint8))
+        else:
+            image = arr.astype(np.float32)
+            if is_int or image.max() > 1.5:
+                image = image / 255.0
+            if image.shape[-3] != height or image.shape[-2] != width:
+                # same LANCZOS kernel as the PIL path (PIL mode-'F' resize
+                # applies it to float channels without uint8 quantization)
+                from PIL import Image
+                if image.ndim == 3:
+                    image = image[None]
+                image = np.stack([
+                    np.stack([
+                        np.asarray(Image.fromarray(im[..., c], mode="F").resize(
+                            (width, height), Image.LANCZOS))
+                        for c in range(im.shape[-1])], axis=-1)
+                    for im in image])
     if hasattr(image, "convert"):  # PIL
         image = image.convert("RGB")
         if image.size != (width, height):
             from PIL import Image
             image = image.resize((width, height), Image.LANCZOS)
         image = np.asarray(image, dtype=np.float32) / 255.0
-    else:
-        arr = np.asarray(image)
-        # decide normalization by DTYPE, not by value (a near-black uint8
-        # image with max<=1 is still 0..255-scaled)
-        is_int = np.issubdtype(arr.dtype, np.integer)
-        image = arr.astype(np.float32)
-        if is_int or image.max() > 1.5:
-            image = image / 255.0
-        if image.shape[-3] != height or image.shape[-2] != width:
-            from blobctrl_tpu.nn import layers
-            if image.ndim == 3:
-                image = image[None]
-            image = np.asarray(layers.bilinear_resize(jnp.asarray(image), height, width))
     if image.ndim == 3:
         image = image[None]
     return image * 2.0 - 1.0
@@ -373,9 +386,14 @@ class BlobNetPipeline:
         n = batch_size * num_images_per_prompt
         h, w = height // 8, width // 8
 
-        # latents
+        # latents. seed=None draws FRESH noise each call (matching the torch
+        # reference's default-generator behavior) — pass a seed for
+        # reproducibility.
         if latents is None:
-            key = jax.random.PRNGKey(0 if seed is None else seed)
+            if seed is None:
+                import os as _os
+                seed = int.from_bytes(_os.urandom(4), "little")
+            key = jax.random.PRNGKey(seed)
             latents = jax.random.normal(key, (n, h, w, 4), jnp.float32)
         else:
             latents = jnp.asarray(latents, jnp.float32)

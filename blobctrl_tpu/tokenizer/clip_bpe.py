@@ -112,6 +112,15 @@ class CLIPTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        # transformers' CLIPTokenizer applies ftfy.fix_text before the double
+        # unescape; fall back to NFC normalization when ftfy is unavailable
+        # (ASCII prompts are unaffected either way)
+        try:
+            import ftfy
+            text = ftfy.fix_text(text)
+        except ImportError:
+            import unicodedata
+            text = unicodedata.normalize("NFC", text)
         text = whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
         for token in _PAT.findall(text):

@@ -10,6 +10,7 @@ training here adds real checkpoint/resume:
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -27,8 +28,11 @@ def save(ckpt_dir: str, state, step: Optional[int] = None):
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [int(d.split("_")[1]) for d in os.listdir(ckpt_dir)
-             if d.startswith("step_")]
+    # Only exact step_NNNN dirs count: an interrupted orbax save leaves a
+    # 'step_NNNN.orbax-checkpoint-tmp-<ts>' dir which must not crash (or be
+    # picked up by) resume — that is the crash-recovery scenario itself.
+    steps = [int(m.group(1)) for d in os.listdir(ckpt_dir)
+             if (m := re.fullmatch(r"step_(\d+)", d))]
     return max(steps) if steps else None
 
 

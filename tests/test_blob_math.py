@@ -168,3 +168,17 @@ def test_blob_score_from_ellipse_matches_reference_cli_path():
     got = blob_math.blob_score_from_ellipse(ellipse, W, H, (64, 64))
     assert_close(np.moveaxis(np.asarray(got), -1, 1), d_ref, atol=1e-5,
                  name="cli_gs_score")
+
+
+def test_gaussian_to_ellipse_near_degenerate_cov_stays_real():
+    """np.linalg.eig returns complex eigenpairs for [[1, e], [-e, 1]]; the
+    symmetrized eigh path must stay real and warning-free."""
+    import warnings
+    from blobctrl_tpu.blob import math as blob_math
+    cov = np.array([[1.0, 1e-8], [-1e-8, 1.0]])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        x, y, a, b, ang = blob_math.gaussian_to_ellipse(np.zeros(2), cov)
+    for v in (x, y, a, b, ang):
+        assert isinstance(v, float) and np.isfinite(v)
+    assert abs(a - 1.0) < 1e-6 and abs(b - 1.0) < 1e-6

@@ -110,3 +110,14 @@ def test_pipeline_sharded_matches_unsharded():
     with mesh:
         got = sharded_pipe(**call_kwargs).images
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):
+    """An interrupted orbax save leaves step_N.orbax-checkpoint-tmp-<ts>;
+    resume must skip it instead of crashing on int()."""
+    from blobctrl_tpu.train import checkpoint as ckpt
+    (tmp_path / "step_00000005").mkdir()
+    (tmp_path / "step_00000007.orbax-checkpoint-tmp-1234567").mkdir()
+    (tmp_path / "not_a_step").mkdir()
+    assert ckpt.latest_step(str(tmp_path)) == 5
+    assert ckpt.latest_step(str(tmp_path / "missing")) is None

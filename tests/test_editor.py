@@ -78,3 +78,36 @@ def test_compositional_init():
     assert ed.initial[1] == (1e-5, 1e-5)  # degenerate start
     assert ed.current == target
     assert len(ed.entries) == 2
+
+
+def test_resize_start_blob_in_place():
+    """resize_start mutates entries[0] (blobctrl_app.py:1280-1337) without
+    appending an edit entry; the target ellipse is untouched."""
+    ed = editor.BlobEditor(height=512, width=512)
+    ed.init_from_ellipse(((256.0, 256.0), (100.0, 150.0), 10.0))
+    ed.move((50, 0))
+    e, warn = ed.resize_start(1.4, resize_type=0)
+    assert not warn
+    np.testing.assert_allclose(ed.initial[1], (140.0, 210.0))
+    assert ed.entries[0][2] == editor.EDIT_INIT
+    assert ed.current[0] == (306.0, 256.0)   # target untouched
+    assert len(ed.entries) == 2              # no new entry appended
+    # long-axis-only variant
+    ed.resize_start(1.5, resize_type=1)
+    np.testing.assert_allclose(ed.initial[1], (140.0, 315.0))
+
+
+def test_resize_start_blob_changes_background():
+    """A larger start blob whites out MORE of the edited background."""
+    from blobctrl_tpu.apps.session import BlobCtrlSession
+    s = BlobCtrlSession(pipeline=None)
+    s.original_image = np.zeros((512, 512, 3), np.uint8)
+    s.editor.init_from_ellipse(((256.0, 256.0), (100.0, 150.0), 0.0))
+    s.move(120, 0)
+    white0 = (s.build_edited_background() == 255).all(-1).sum()
+    rm0 = (s.build_removal_background() == 255).all(-1).sum()
+    s.resize_start_blob(1.5, resize_type=0)
+    white1 = (s.build_edited_background() == 255).all(-1).sum()
+    rm1 = (s.build_removal_background() == 255).all(-1).sum()
+    assert white1 > white0 * 1.5
+    assert rm1 > rm0 * 1.5

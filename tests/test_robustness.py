@@ -162,3 +162,43 @@ def test_caller_latents_survive(tiny):
     a = pipe(latents=lat, **kw).images
     b = pipe(latents=lat, **kw).images  # same latents buffer reused
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_preprocess_image_pil_ndarray_same_filter():
+    """ndarray and PIL inputs must use the same LANCZOS resample — identical
+    pixels give identical latents regardless of input type (up to the PIL
+    path's uint8 output quantization)."""
+    from PIL import Image
+    from blobctrl_tpu.pipeline.blobnet_pipeline import preprocess_image
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 255, (96, 128, 3)).astype(np.uint8)
+    out_pil = preprocess_image(Image.fromarray(arr), 64, 64)
+    out_arr = preprocess_image(arr, 64, 64)
+    assert out_arr.shape == out_pil.shape == (1, 64, 64, 3)
+    # integer ndarray takes the exact PIL path -> bit identical
+    np.testing.assert_array_equal(out_pil, out_arr)
+    # float ndarray uses the same LANCZOS kernel without uint8 intermediate
+    # quantization/clipping; bilinear would differ by ~3e-1 on random noise
+    out_f = preprocess_image(arr.astype(np.float32) / 255.0, 64, 64)
+    assert np.abs(out_pil - out_f).max() < 0.1
+
+
+def test_seed_none_draws_fresh_noise(tiny):
+    rng = np.random.RandomState(0)
+    pipe = BlobNetPipeline(**tiny)
+    fg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    pe = rng.randn(1, 7, 16).astype(np.float32)
+    npe = rng.randn(1, 7, 16).astype(np.float32)
+    dino = rng.randn(1, 16).astype(np.float32)
+    kw = dict(fg_image=fg, bg_image=bg, gs_score=gs, height=64, width=64,
+              num_inference_steps=2, guidance_scale=7.5, prompt_embeds=pe,
+              negative_prompt_embeds=npe, num_images_per_prompt=1,
+              fg_dino_feats=dino)
+    a = pipe(seed=None, **kw).images
+    b = pipe(seed=None, **kw).images
+    assert np.abs(a - b).max() > 1e-4   # fresh noise each no-seed call
+    c = pipe(seed=7, **kw).images
+    d = pipe(seed=7, **kw).images
+    np.testing.assert_array_equal(c, d)  # explicit seed reproducible
