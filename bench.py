@@ -110,6 +110,25 @@ def main():
         assert imgs.shape[0] == batch
         batch_img_s = batch / batch_sec
 
+    # encoder-cache fast mode (opt-in Faster-Diffusion approximation,
+    # arXiv 2312.09608): decoder-only on reuse steps
+    cache_sec = None
+    cache_interval = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
+    if cache_interval > 1:
+        def run_cached():
+            return pipe(fg_image=fg, bg_image=bg, gs_score=gs,
+                        height=size, width=size, num_inference_steps=steps,
+                        guidance_scale=7.5, latents=lat0,
+                        prompt_embeds=pe, negative_prompt_embeds=npe,
+                        blobnet_conditioning_scale=1.6,
+                        blobnet_control_guidance_end=0.9,
+                        scheduler="unipc", fg_dino_feats=dino_feats,
+                        encoder_cache_interval=cache_interval).images
+        run_cached()
+        t0 = time.perf_counter()
+        run_cached()
+        cache_sec = time.perf_counter() - t0
+
     # remove-mode edit (strength 0 -> statically UNet-only loop)
     remove_sec = None
     if os.environ.get("BENCH_REMOVE", "1") == "1":
@@ -138,6 +157,7 @@ def main():
         "times": [round(t, 4) for t in times],
         "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
         "remove_edit_seconds": round(remove_sec, 4) if remove_sec else None,
+        "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,
         "device": str(jax.devices()[0]),
     }))
 

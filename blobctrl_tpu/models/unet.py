@@ -103,28 +103,28 @@ def time_embed(params, cfg: UNetConfig, timesteps: Array, dtype) -> Array:
     return embeddings.timestep_embedding(params["time_embedding"], t_emb.astype(dtype))
 
 
-def unet_apply(params, cfg: UNetConfig, sample: Array, timesteps: Array,
-               encoder_hidden_states: Optional[Array] = None,
-               down_block_add_samples: Optional[Sequence[Array]] = None,
-               mid_block_add_sample: Optional[Array] = None,
-               up_block_add_samples: Optional[Sequence[Array]] = None,
-               remat: bool = False) -> Array:
-    """sample: (B, H, W, C_in) NHWC; timesteps: (B,) or scalar.
-
-    The three *add_samples args carry BlobNet residuals (right-half-cropped by
-    the pipeline, see pipeline_blobnet.py:1085-1087) and are consumed in the
-    reference's exact order.
-    """
+def _norm_timesteps(timesteps: Array, batch: int) -> Array:
     if timesteps.ndim == 0:
-        timesteps = jnp.broadcast_to(timesteps[None], (sample.shape[0],))
+        timesteps = jnp.broadcast_to(timesteps[None], (batch,))
+    return timesteps
+
+
+def unet_encode(params, cfg: UNetConfig, sample: Array, timesteps: Array,
+                encoder_hidden_states: Optional[Array] = None,
+                down_block_add_samples: Optional[Sequence[Array]] = None,
+                mid_block_add_sample: Optional[Array] = None,
+                remat: bool = False) -> Tuple[Array, Tuple[Array, ...]]:
+    """conv_in + down blocks + mid block (with the 12 down + 1 mid BlobNet
+    injections applied). Returns (mid_activation, skip_stack) — the exact
+    state Faster-Diffusion-style encoder propagation caches across steps
+    (arXiv 2312.09608: encoder features vary little between adjacent steps)."""
+    timesteps = _norm_timesteps(timesteps, sample.shape[0])
     ng, eps, heads = cfg.norm_num_groups, cfg.norm_eps, cfg.num_heads
     ctx = encoder_hidden_states
-
     emb = time_embed(params, cfg, timesteps, sample.dtype)
 
     x = layers.conv2d(params["conv_in"], sample, padding=1)
     down_q = ub.InjectionQueue(down_block_add_samples)
-    up_q = ub.InjectionQueue(up_block_add_samples)
     x = down_q.apply(x)
 
     res_stack: List[Array] = [x]
@@ -138,8 +138,24 @@ def unet_apply(params, cfg: UNetConfig, sample: Array, timesteps: Array,
     x = ub.mid_block(params["mid_block"], x, emb, ctx, heads, ng, eps, remat=remat)
     if mid_block_add_sample is not None:
         x = ub.add_injection(x, mid_block_add_sample)
+    down_q.assert_empty()
+    return x, tuple(res_stack)
 
-    n_blocks = len(params["up_blocks"])
+
+def unet_decode(params, cfg: UNetConfig, x: Array, skip_stack, timesteps: Array,
+                encoder_hidden_states: Optional[Array] = None,
+                up_block_add_samples: Optional[Sequence[Array]] = None,
+                remat: bool = False) -> Array:
+    """Up blocks + out head, from an (x_mid, skip_stack) encoder state. The
+    time embedding is recomputed here so cached encoder states still see the
+    current step's embedding in the decoder resnets."""
+    timesteps = _norm_timesteps(timesteps, x.shape[0])
+    ng, eps, heads = cfg.norm_num_groups, cfg.norm_eps, cfg.num_heads
+    ctx = encoder_hidden_states
+    emb = time_embed(params, cfg, timesteps, x.dtype)
+    up_q = ub.InjectionQueue(up_block_add_samples)
+
+    res_stack = list(skip_stack)
     for i, block_p in enumerate(params["up_blocks"]):
         k = len(block_p["resnets"])
         skips, res_stack = res_stack[-k:], res_stack[:-k]
@@ -148,10 +164,28 @@ def unet_apply(params, cfg: UNetConfig, sample: Array, timesteps: Array,
         block_heads = heads if cfg.up_block_has_attn[i] else None
         x, _ = ub.up_block(block_p, x, skips, emb, block_ctx, block_heads,
                            up_q, upsample_hw, ng, eps, remat=remat)
-
-    down_q.assert_empty()
     up_q.assert_empty()
 
     x = layers.group_norm(params["conv_norm_out"], x, ng, eps)
     x = layers.silu(x)
     return layers.conv2d(params["conv_out"], x, padding=1)
+
+
+def unet_apply(params, cfg: UNetConfig, sample: Array, timesteps: Array,
+               encoder_hidden_states: Optional[Array] = None,
+               down_block_add_samples: Optional[Sequence[Array]] = None,
+               mid_block_add_sample: Optional[Array] = None,
+               up_block_add_samples: Optional[Sequence[Array]] = None,
+               remat: bool = False) -> Array:
+    """sample: (B, H, W, C_in) NHWC; timesteps: (B,) or scalar.
+
+    The three *add_samples args carry BlobNet residuals (right-half-cropped by
+    the pipeline, see pipeline_blobnet.py:1085-1087) and are consumed in the
+    reference's exact order.
+    """
+    x, res_stack = unet_encode(params, cfg, sample, timesteps,
+                               encoder_hidden_states, down_block_add_samples,
+                               mid_block_add_sample, remat=remat)
+    return unet_decode(params, cfg, x, res_stack, timesteps,
+                       encoder_hidden_states, up_block_add_samples,
+                       remat=remat)

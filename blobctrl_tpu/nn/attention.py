@@ -29,12 +29,17 @@ Array = jax.Array
 _ATTENTION_BACKEND = "auto"
 # Sequence length at or above which "auto" routes to the flash kernel.
 _FLASH_MIN_SEQ = 1024
+# Opt-in int8 QK^T inside the flash kernel (per-row exact rescale; ~1%
+# relative output drift, 2x MXU rate on the padded QK^T stage).
+_ATTENTION_INT8 = False
 
 
-def set_attention_backend(backend: str):
-    global _ATTENTION_BACKEND
+def set_attention_backend(backend: str, qk_int8: Optional[bool] = None):
+    global _ATTENTION_BACKEND, _ATTENTION_INT8
     assert backend in ("xla", "pallas", "auto"), backend
     _ATTENTION_BACKEND = backend
+    if qk_int8 is not None:
+        _ATTENTION_INT8 = bool(qk_int8)
 
 
 def get_attention_backend() -> str:
@@ -82,7 +87,8 @@ def multi_head_attention(q: Array, k: Array, v: Array, heads: int,
     qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
     if _use_flash(sq, sk, d, mask is not None):
         from blobctrl_tpu.ops import flash_attention
-        out = flash_attention.flash_attention(qh, kh, vh, scale=scale)
+        out = flash_attention.flash_attention(qh, kh, vh, scale=scale,
+                                              qk_int8=_ATTENTION_INT8)
     else:
         out = sdpa_xla(qh, kh, vh, scale, mask)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, c)

@@ -67,15 +67,64 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_int8(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
+                       acc_ref, m_ref, l_ref):
+    """int8 QK^T variant: q/k arrive per-row-quantized int8; the int32 MXU
+    product is rescaled exactly by the per-row scales (softmax_scale folded
+    into qs outside). PV stays bf16. int8 MXU peak is 2x bf16 on v5e, and
+    QK^T carries the same d->128 padding tax either way, so the QK^T stage
+    halves."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_i = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    # exact rescale: s[i,j] = s_i[i,j] * qscale[i] * kscale[j]
+    s = s_i.astype(jnp.float32) * qs_ref[0] * ks_ref[0]
+
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, :1])
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _quantize_rows(x: Array):
+    """Per-row symmetric int8: (..., S, D) -> (int8 values, (..., S, 1) f32
+    scales). Exact to rescale after a matmul since scales are per-row."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-20) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
-                                             "interpret"))
+                                             "interpret", "qk_int8"))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
                     block_q: int = 512, block_kv: int = 1024,
-                    interpret: bool = False) -> Array:
+                    interpret: bool = False, qk_int8: bool = False) -> Array:
     """q: (B, H, Sq, D), k/v: (B, H, Sk, D) -> (B, H, Sq, D).
 
     Sq/Sk are padded to block multiples internally (padded kv columns are
@@ -106,25 +155,21 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
 
     grid = (b * h, sqp // block_q, sk // block_kv)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+    q_spec = pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_kv, dp), lambda bh, iq, ik: (bh, ik, 0),
+                          memory_space=pltpu.VMEM)
+    v_spec = k_spec
+    o_spec = pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((block_q, dp), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, dp), lambda bh, iq, ik: (bh, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_kv, dp), lambda bh, iq, ik: (bh, ik, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, iq, ik: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sqp, dp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, dp), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -134,7 +179,34 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
             transcendentals=b * h * sqp * sk,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )
+
+    if qk_int8:
+        qi, qs = _quantize_rows(qp)          # (bh, sqp, dp) i8, (bh, sqp, 1)
+        ki, ks = _quantize_rows(kp)
+        qs = qs * scale                       # fold softmax scale into q rows
+        ks_t = jnp.transpose(ks, (0, 2, 1))   # (bh, 1, sk): lane dim = kv
+        out = pl.pallas_call(
+            _flash_kernel_int8,
+            in_specs=[
+                q_spec, k_spec, v_spec,
+                pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda bh, iq, ik: (bh, 0, ik),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=o_spec,
+            scratch_shapes=scratch,
+            **common,
+        )(qi, ki, vp, qs, ks_t)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, scale=scale),
+            in_specs=[q_spec, k_spec, v_spec],
+            out_specs=o_spec,
+            scratch_shapes=scratch,
+            **common,
+        )(qp, kp, vp)
 
     out = out.reshape(b, h, sqp, dp)
     return out[:, :, :sq, :d]

@@ -44,13 +44,25 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
-def _model_spec_for(path_leaf: str, arr) -> P:
-    """Partition spec for one param leaf under model sharding."""
-    if path_leaf == "kernel" and arr.ndim == 2:
-        return P(None, "model")
-    if path_leaf == "kernel" and arr.ndim == 4:
+def _model_spec_for(path: str, arr) -> P:
+    """Partition spec for one param leaf under model (tensor) sharding.
+
+    Megatron-style pairing over the transformer sublayers so consecutive
+    matmuls contract over the sharded dimension instead of resharding:
+      * column-parallel (output dim sharded): to_q/k/v, ff.proj_in
+      * row-parallel (input dim sharded, psum after): attn to_out,
+        ff.proj_out — their biases stay replicated (added post-reduce)
+      * convs: output-channel sharded (the resnet stack's natural split)
+    GSPMD inserts the all-reduce/all-gather collectives; any spec is
+    numerically identical — these only set the communication pattern.
+    """
+    is_kernel = path.endswith(".kernel")
+    row_parallel = (".to_out." in path or ".proj_out." in path)
+    if is_kernel and arr.ndim == 2:
+        return P("model", None) if row_parallel else P(None, "model")
+    if is_kernel and arr.ndim == 4:
         return P(None, None, None, "model")
-    if path_leaf == "bias" and arr.ndim == 1:
+    if path.endswith(".bias") and arr.ndim == 1 and not row_parallel:
         return P("model")
     return P()
 
@@ -65,8 +77,9 @@ def shard_params(mesh: Mesh, params, model_parallel: bool = False):
     msize = mesh.shape["model"]
 
     def place(path, arr):
-        leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        spec = _model_spec_for(leaf, arr)
+        keys = [p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
+                for p in path]
+        spec = _model_spec_for("." + ".".join(str(k) for k in keys), arr)
         # only shard when divisible; replicate otherwise
         for ax, name in enumerate(spec):
             if name == "model" and arr.shape[ax] % msize != 0:

@@ -215,10 +215,12 @@ class BlobNetPipeline:
     # ------------------------------------------------------------------
 
     def _get_denoise_fn(self, scheduler_name: str, num_steps: int,
-                        do_cfg: bool, use_blobnet: bool = True):
+                        do_cfg: bool, use_blobnet: bool = True,
+                        encoder_cache: bool = False):
         # guidance_scale is a traced operand (sweeping it must not recompile
-        # the 50-step graph), so it is NOT part of the cache key
-        key = (scheduler_name, num_steps, do_cfg, use_blobnet)
+        # the 50-step graph), so it is NOT part of the cache key; neither is
+        # the encoder-cache key-step mask (an operand array)
+        key = (scheduler_name, num_steps, do_cfg, use_blobnet, encoder_cache)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -239,16 +241,24 @@ class BlobNetPipeline:
         @jax.jit  # no donation: caller-supplied latents must stay valid
         def denoise(unet_params, blobnet_params, latents, prompt_embeds,
                     fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales,
-                    guidance_scale):
+                    guidance_scale, key_mask):
             """latents: (B, h, w, 4) f32. fg/bg_lat: (CB, h, w, 4);
             fg/bg_score: (CB, h, w, 1); fg_feats: (CB, h, w, Cd);
-            cond_scales: (S,) f32. CB = CFG batch (2B or B).
+            cond_scales: (S,) f32; key_mask: (S,) bool (all True = exact).
+            CB = CFG batch (2B or B).
 
             CFG dedup: BlobNet takes no text conditioning, so its two CFG
             rows would be bit-identical (the reference runs it redundantly at
             batch 2B, pipeline_blobnet.py:1043-1068). We run BlobNet at batch
             B and broadcast the residuals — exact same numbers, half the
-            BlobNet FLOPs."""
+            BlobNet FLOPs.
+
+            Encoder caching (opt-in, Faster-Diffusion arXiv 2312.09608): on
+            steps where key_mask[i] is False, BlobNet and the UNet *encoder*
+            (conv_in + down + mid) are skipped entirely and the previous key
+            step's encoder state — mid activation, 12 skips, and the 15
+            BlobNet up residuals — is reused; only the decoder runs, with the
+            current step's time embedding."""
             n = latents.shape[0]
             # static conditioning tensors, pre-concatenated once:
             blob_cond_left = jnp.concatenate(
@@ -260,20 +270,12 @@ class BlobNetPipeline:
             bg_score_d = bg_score.astype(dtype)
             pe = prompt_embeds.astype(dtype)
 
-            if scheduler_name == "unipc":
-                state = unipc_lib.init_state(sched, latents)
-            elif scheduler_name == "dpm":
-                state = dpm_lib.init_state(sched, latents)
-            else:
-                state = (latents,)
-
-            def body(i, state):
-                sample = state[0]
+            def encode_step(i, sample_d):
+                """Full conditioning path: BlobNet + UNet encoder. Returns
+                (x_mid, skip_stack, up_residuals)."""
                 t = sched.timesteps_jax[i].astype(jnp.float32)
-                sample_d = sample.astype(dtype)
                 lmi = (jnp.concatenate([sample_d] * 2, axis=0)
                        if do_cfg else sample_d)
-
                 unet_right = jnp.concatenate([lmi, bg_score_d], axis=-1)
                 unet_in = jnp.concatenate([unet_cond_left, unet_right], axis=2)
 
@@ -301,31 +303,71 @@ class BlobNetPipeline:
                         r = crop_right(r)
                         return (jnp.concatenate([r, r], axis=0) if do_cfg else r)
 
-                    noise_pred = unet_lib.unet_apply(
+                    x_mid, skips = unet_lib.unet_encode(
                         unet_params, unet_cfg, unet_in, t, pe,
                         down_block_add_samples=[bcast(r) for r in down],
-                        mid_block_add_sample=bcast(mid),
-                        up_block_add_samples=[bcast(r) for r in up])
+                        mid_block_add_sample=bcast(mid))
+                    up_res = tuple(bcast(r) for r in up)
                 else:
                     # remove mode: conditioning scale is statically 0 — the
                     # BlobNet residuals would all be zeros (reference computes
                     # them anyway and multiplies by 0, pipeline_blobnet.py:1040)
-                    noise_pred = unet_lib.unet_apply(
+                    x_mid, skips = unet_lib.unet_encode(
                         unet_params, unet_cfg, unet_in, t, pe)
+                    up_res = ()
+                return x_mid, skips, up_res
 
+            def decode_step(i, enc):
+                x_mid, skips, up_res = enc
+                t = sched.timesteps_jax[i].astype(jnp.float32)
+                noise_pred = unet_lib.unet_decode(
+                    unet_params, unet_cfg, x_mid, skips, t, pe,
+                    up_block_add_samples=list(up_res) if up_res else None)
                 w = noise_pred.shape[2]
                 noise_pred = noise_pred[:, :, w // 2:, :].astype(jnp.float32)
                 if do_cfg:
                     uncond, cond = jnp.split(noise_pred, 2, axis=0)
                     noise_pred = uncond + guidance_scale * (cond - uncond)
+                return noise_pred
 
+            if scheduler_name == "unipc":
+                state = unipc_lib.init_state(sched, latents)
+            elif scheduler_name == "dpm":
+                state = dpm_lib.init_state(sched, latents)
+            else:
+                state = (latents,)
+
+            def sched_step(i, noise_pred, state):
                 if scheduler_name == "unipc":
                     return unipc_lib.step(sched, i, noise_pred, state)
                 if scheduler_name == "dpm":
                     return dpm_lib.step(sched, i, noise_pred, state)
                 return (ddim_lib.step(sched, i, noise_pred, state[0]),)
 
-            state = jax.lax.fori_loop(0, num_steps, body, state)
+            if not encoder_cache:
+                def body(i, state):
+                    sample_d = state[0].astype(dtype)
+                    noise_pred = decode_step(i, encode_step(i, sample_d))
+                    return sched_step(i, noise_pred, state)
+
+                state = jax.lax.fori_loop(0, num_steps, body, state)
+                return state[0]
+
+            # encoder-cache variant: carry the encoder state across steps
+            enc0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(encode_step, 0, latents.astype(dtype)))
+
+            def body(i, carry):
+                state, enc = carry
+                sample_d = state[0].astype(dtype)
+                enc = jax.lax.cond(key_mask[i],
+                                   lambda s, e: encode_step(i, s),
+                                   lambda s, e: e, sample_d, enc)
+                noise_pred = decode_step(i, enc)
+                return sched_step(i, noise_pred, state), enc
+
+            state, _ = jax.lax.fori_loop(0, num_steps, body, (state, enc0))
             return state[0]
 
         self._denoise_cache[key] = (denoise, sched)
@@ -352,6 +394,8 @@ class BlobNetPipeline:
                  clip_skip: Optional[int] = None,
                  scheduler: str = "unipc",
                  output_type: str = "np",
+                 encoder_cache_interval: int = 0,
+                 encoder_cache_warmup: int = 5,
                  fg_dino_feats: Optional[np.ndarray] = None,
                  fg_vae_image=None,
                  ip_adapter_image=None,
@@ -496,12 +540,30 @@ class BlobNetPipeline:
             fg_feats = put(fg_feats)
 
         use_blobnet = bool(np.any(cond_scales != 0.0))
+
+        # Faster-Diffusion encoder propagation (opt-in, approximate): key
+        # steps run the full conditioning path; the rest reuse the cached
+        # encoder state. Warmup steps, control-window edges, and the final
+        # step are always keys (the approximation is worst where the
+        # trajectory bends).
+        encoder_cache = encoder_cache_interval > 1
+        key_mask = np.ones(num_inference_steps, bool)
+        if encoder_cache:
+            for i in range(num_inference_steps):
+                is_key = (i < encoder_cache_warmup
+                          or i % encoder_cache_interval == 0
+                          or i == num_inference_steps - 1
+                          or cond_scales[i] != cond_scales[i - 1])
+                key_mask[i] = is_key
+
         denoise, sched = self._get_denoise_fn(scheduler, num_inference_steps,
-                                              do_cfg, use_blobnet)
+                                              do_cfg, use_blobnet,
+                                              encoder_cache)
         final = denoise(self.unet_params, self.blobnet_params, latents, pe,
                         fg_lat, bg_lat, fg_score, bg_score, fg_feats,
                         jnp.asarray(cond_scales),
-                        jnp.asarray(float(guidance_scale), jnp.float32))
+                        jnp.asarray(float(guidance_scale), jnp.float32),
+                        jnp.asarray(key_mask))
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(final))

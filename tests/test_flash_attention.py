@@ -45,3 +45,34 @@ def test_flash_bf16_io():
                              block_q=128, block_kv=128, interpret=True)
     assert_close(np.asarray(got, np.float32), np.asarray(ref, np.float32),
                  atol=2e-2, rtol=2e-2, name="flash_bf16")
+
+
+@pytest.mark.parametrize("b,h,s,d", [
+    (1, 2, 256, 40),
+    (1, 1, 384, 80),
+])
+def test_flash_int8_qk_bounded_drift(b, h, s, d):
+    """Opt-in int8 QK^T: per-row symmetric quantization with exact rescale.
+    ~1% relative drift vs the fp path; structure (shapes, finiteness,
+    agreement direction) must hold."""
+    q = RNG.randn(b, h, s, d).astype(np.float32)
+    k = RNG.randn(b, h, s, d).astype(np.float32)
+    v = RNG.randn(b, h, s, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = np.asarray(fa.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        block_q=128, block_kv=128, interpret=True))
+    got = np.asarray(fa.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        block_q=128, block_kv=128, interpret=True, qk_int8=True))
+    assert np.isfinite(got).all()
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert 0.0 < rel < 0.03, rel
+
+
+def test_int8_quantize_rows_roundtrip():
+    x = jnp.asarray(RNG.randn(2, 3, 64, 40).astype(np.float32)) * 3.7
+    qi, qs = fa._quantize_rows(x)
+    assert qi.dtype == jnp.int8
+    back = qi.astype(jnp.float32) * qs
+    assert float(jnp.abs(back - x).max()) <= float(qs.max()) * 0.5 + 1e-6
