@@ -19,6 +19,7 @@ from blobctrl_tpu.train import checkpoint as ckpt_lib
 from blobctrl_tpu.train import train_step as ts
 
 
+@pytest.mark.slow
 def test_orbax_save_restore_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     unet_cfg, blobnet_cfg = flagship.tiny_configs()
@@ -75,6 +76,7 @@ def test_lora_export_reimport_roundtrip(tmp_path):
                                    np.asarray(reimported[k]["B"]), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_pipeline_sharded_matches_unsharded():
     key = jax.random.PRNGKey(0)
     unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)

@@ -51,6 +51,7 @@ def test_blobnet_config_from_diffusers():
     assert cfg.cross_attention_dim is None
 
 
+@pytest.mark.slow
 def test_guess_mode_scaling():
     import jax
     import jax.numpy as jnp

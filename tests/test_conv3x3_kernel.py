@@ -1,0 +1,45 @@
+"""Pallas implicit-GEMM conv3x3 vs lax.conv (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from blobctrl_tpu.nn import layers
+from blobctrl_tpu.ops.conv3x3 import conv3x3
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.mark.parametrize("b,h,w,c,co", [
+    (2, 8, 16, 320, 320),    # co not a multiple of the block -> padded path
+    (1, 6, 10, 64, 128),
+    (2, 4, 8, 1280, 1280),
+    (1, 8, 8, 320, 640),
+    (2, 16, 4, 32, 32),
+])
+def test_conv3x3_matches_xla(b, h, w, c, co):
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.05, jnp.float32)
+    bias = jnp.asarray(RNG.randn(co), jnp.float32)
+    ref = layers.conv2d({"kernel": k, "bias": bias}, x, padding=1)
+    got = conv3x3(x, k, bias, interpret=True)
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel
+
+
+def test_conv3x3_fused_silu_prologue():
+    """conv3x3(silu(x*a+s)) == explicit chain, incl. zero-pad-after-activation
+    semantics at the borders."""
+    b, h, w, c, co = 2, 8, 16, 320, 320
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.05, jnp.float32)
+    bias = jnp.asarray(RNG.randn(co), jnp.float32)
+    a = jnp.asarray(RNG.rand(b, c) + 0.5, jnp.float32)
+    s = jnp.asarray(RNG.randn(b, c) * 0.1, jnp.float32)
+    xa = jax.nn.silu(x * a[:, None, None, :] + s[:, None, None, :])
+    ref = layers.conv2d({"kernel": k, "bias": bias}, xa, padding=1)
+    got = conv3x3(x, k, bias, scale=a, shift=s, interpret=True)
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel

@@ -6,6 +6,9 @@ keys) must be EXACT; sparse keys must stay within a bounded drift of the
 exact path."""
 
 import numpy as np
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.slow  # three denoise-graph compiles
 import pytest
 
 import jax

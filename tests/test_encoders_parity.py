@@ -18,6 +18,7 @@ torch = pytest.importorskip("torch")
 RNG = np.random.RandomState(3)
 
 
+@pytest.mark.slow
 def test_tiny_vae_parity():
     import_diffusers()
     from diffusers import AutoencoderKL

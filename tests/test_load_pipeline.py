@@ -121,6 +121,7 @@ def fake_models_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_load_pipeline_and_run(fake_models_root):
     import jax.numpy as jnp
     import dataclasses

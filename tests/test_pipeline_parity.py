@@ -102,6 +102,7 @@ def build_torch_models():
     return unet, blobnet, vae, dinov2, dinov2_processor, scheduler, text_encoder
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_parity():
     from PIL import Image
     unet_t, blobnet_t, vae_t, dinov2_t, dproc, sched_t, text_t = build_torch_models()
@@ -186,6 +187,7 @@ def test_pipeline_end_to_end_parity():
     assert_close(out, ref_out, atol=5e-3, rtol=5e-2, name="pipeline_e2e")
 
 
+@pytest.mark.slow
 def test_pipeline_ddim_and_multisample_parity():
     """Same stacks as above but with DDIM and num_images_per_prompt=2 —
     covers scheduler dispatch and CFG batch semantics vs torch."""

@@ -42,6 +42,7 @@ def _run(tiny, height, width, n_prompts=1, nipp=1, steps=2):
                 num_images_per_prompt=nipp, fg_dino_feats=dino).images
 
 
+@pytest.mark.slow
 def test_non_square_free_resolution(tiny):
     out = _run(tiny, height=96, width=96)
     assert out.shape == (1, 96, 96, 3)
@@ -49,12 +50,14 @@ def test_non_square_free_resolution(tiny):
     assert out.shape == (1, 64, 128, 3)
 
 
+@pytest.mark.slow
 def test_multi_prompt_multi_sample(tiny):
     out = _run(tiny, 64, 64, n_prompts=2, nipp=3)
     assert out.shape == (6, 64, 64, 3)
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_no_cfg_guidance_one(tiny):
     rng = np.random.RandomState(0)
     pipe = BlobNetPipeline(**tiny)
@@ -67,6 +70,7 @@ def test_no_cfg_guidance_one(tiny):
     assert out.shape == (1, 64, 64, 3)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(tiny):
     key = jax.random.PRNGKey(3)
     ucfg = tiny["unet_cfg"]
@@ -88,6 +92,7 @@ def test_dead_path_guards(tiny):
              return_sample=True)
 
 
+@pytest.mark.slow
 def test_multi_blob_edit(tiny):
     """M=2 blobs with distinct appearance embeddings (beyond the reference's
     single-blob pipeline; same math, generalized)."""
@@ -128,6 +133,7 @@ def test_multi_blob_edit(tiny):
     assert np.isfinite(out1).all()
 
 
+@pytest.mark.slow
 def test_guidance_sweep_does_not_recompile(tiny):
     """guidance_scale is a traced operand: sweeping it must reuse ONE
     compiled denoise graph (regression for the static-bake bug)."""
@@ -146,6 +152,7 @@ def test_guidance_sweep_does_not_recompile(tiny):
     assert np.abs(out1 - out2).max() > 1e-4  # the scale actually matters
 
 
+@pytest.mark.slow
 def test_caller_latents_survive(tiny):
     """The denoise loop must not donate caller-supplied jax-array latents."""
     import jax.numpy as jnp
@@ -183,6 +190,7 @@ def test_preprocess_image_pil_ndarray_same_filter():
     assert np.abs(out_pil - out_f).max() < 0.1
 
 
+@pytest.mark.slow
 def test_seed_none_draws_fresh_noise(tiny):
     rng = np.random.RandomState(0)
     pipe = BlobNetPipeline(**tiny)

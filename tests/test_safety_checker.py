@@ -26,6 +26,7 @@ def tiny_vision_cfg_pair():
     return tmodel, jcfg
 
 
+@pytest.mark.slow
 def test_clip_vision_parity():
     tmodel, jcfg = tiny_vision_cfg_pair()
     params = safety_checker.convert_clip_vision(tmodel.state_dict())

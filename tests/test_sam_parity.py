@@ -40,6 +40,7 @@ def tiny():
     return tmodel, params, jcfg
 
 
+@pytest.mark.slow
 def test_sam_vision_encoder_parity(tiny):
     tmodel, params, jcfg = tiny
     px = RNG.randn(1, 3, 64, 64).astype(np.float32)
@@ -51,6 +52,7 @@ def test_sam_vision_encoder_parity(tiny):
                  rtol=5e-3, name="sam_vision")
 
 
+@pytest.mark.slow
 def test_sam_end_to_end_mask_parity(tiny):
     tmodel, params, jcfg = tiny
     px = RNG.randn(1, 3, 64, 64).astype(np.float32)

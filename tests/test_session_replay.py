@@ -4,6 +4,9 @@ path validation without the published checkpoints)."""
 import os
 
 import numpy as np
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.slow  # ten 512^2 pipeline compiles
 import pytest
 
 import jax

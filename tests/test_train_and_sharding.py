@@ -27,6 +27,7 @@ def make_batch(rng, B, LH=8, LW=8, DC=16, CT=16):
     }
 
 
+@pytest.mark.slow
 def test_lora_merge_and_zero_init_identity():
     unet_cfg, _ = flagship.tiny_configs()
     key = jax.random.PRNGKey(0)
@@ -67,6 +68,7 @@ def test_lora_state_dict_conversion_peft_format():
         assert v["A"].shape[1] == rank and v["B"].shape[0] == rank
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns():
     unet_cfg, blobnet_cfg = flagship.tiny_configs()
     key = jax.random.PRNGKey(0)
@@ -94,6 +96,7 @@ def test_train_step_runs_and_learns():
     assert bsum > 0
 
 
+@pytest.mark.slow
 def test_train_step_dp_sharded_matches_single_device():
     unet_cfg, blobnet_cfg = flagship.tiny_configs()
     key = jax.random.PRNGKey(0)
@@ -128,6 +131,7 @@ def test_train_step_dp_sharded_matches_single_device():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_parallel_forward_matches_replicated():
     unet_cfg, _ = flagship.tiny_configs()
     key = jax.random.PRNGKey(0)

@@ -1,6 +1,9 @@
 """Training data pipeline: (image, mask, prompt) -> batch -> train step."""
 
 import numpy as np
+import pytest as _pytest_mod
+
+pytestmark = _pytest_mod.mark.slow  # full data->train-step path
 import pytest
 
 import jax

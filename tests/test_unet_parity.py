@@ -168,6 +168,7 @@ def test_tiny_blobnet_parity():
                      rtol=2e-3, name=f"blobnet_up[{i}]")
 
 
+@pytest.mark.slow
 def test_four_level_sd_structure_parity():
     """Full SD-1.5 block topology (4 levels, 3 CrossAttn + 1 plain down,
     1 plain + 3 CrossAttn up) at small channels — catches per-level wiring
