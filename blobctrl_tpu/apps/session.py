@@ -66,6 +66,9 @@ class BlobCtrlSession:
         self.fg_image: Optional[np.ndarray] = None
         self.editor = editor_lib.BlobEditor(height=size, width=size)
         self.selected_points: List[Tuple[float, float]] = []
+        # click-to-move tracking points (blobctrl_app.py:1132-1172)
+        self.tracking_points: List[List[int]] = []
+        self._remove_inflated = False
 
     # ------------------------------------------------------------------
     # steps 1-2: image + segmentation
@@ -139,6 +142,143 @@ class BlobCtrlSession:
 
     def blob_visualization(self) -> np.ndarray:
         return viz_lib.blob_vis_from_ellipse(self.editor.current, self.size, self.size)
+
+    # ------------------------------------------------------------------
+    # click-to-move tracking points (the demo's core editing UX,
+    # blobctrl_app.py:1046-1218)
+    # ------------------------------------------------------------------
+
+    def add_tracking_point(self, x: float, y: float):
+        """Reference semantics (add_tracking_points, blobctrl_app.py:1132):
+        the FIRST valid click selects the blob (must land inside the start
+        ellipse; the appended point is the start ellipse's center, not the
+        click); every later click moves the blob by the delta between the
+        last two points. Returns (overlay_image, warning_or_None)."""
+        if not self.editor.entries:
+            return None, "Please generate the blob first"
+        if not self.tracking_points:
+            if not editor_lib.is_point_in_ellipse((x, y), self.editor.initial):
+                return (viz_lib.blob_vis_from_ellipse(
+                    self.editor.initial, self.size, self.size),
+                    "Please click a point inside the blob first")
+            xc, yc = self.editor.initial[0]
+            self.tracking_points.append([int(xc), int(yc)])
+        else:
+            self.tracking_points.append([int(x), int(y)])
+            last, prev = self.tracking_points[-1], self.tracking_points[-2]
+            self.editor.move((last[0] - prev[0], last[1] - prev[1]))
+        return self.tracking_overlay(), None
+
+    def undo_tracking_point(self):
+        """blobctrl_app.py:1175: pop the last point + its move entry."""
+        if len(self.tracking_points) > 1:
+            self.tracking_points.pop()
+            self.editor.undo()
+        elif self.tracking_points:
+            self.tracking_points.pop()
+        else:
+            return self.reset_tracking_points()
+        return self.tracking_overlay()
+
+    def reset_tracking_points(self):
+        """blobctrl_app.py:1203: clear points, truncate edits to the start."""
+        self.tracking_points = []
+        self.editor.reset()
+        return self.tracking_overlay()
+
+    def tracking_overlay(self) -> np.ndarray:
+        """The 'Editable Blob' view: blob splat + start marker + move
+        polyline/arrow + current-ellipse outline
+        (tracking_points_for_blob, blobctrl_app.py:1053-1127)."""
+        import cv2
+        img = np.ascontiguousarray(self.blob_visualization())
+        color = (40, 90, 230)
+        pts = [p for i, p in enumerate(self.tracking_points)
+               if i == 0 or p != self.tracking_points[i - 1]]
+        if pts:
+            cv2.drawMarker(img, tuple(pts[0]), color,
+                           markerType=cv2.MARKER_TILTED_CROSS,
+                           markerSize=20, thickness=5)
+        for i in range(len(pts) - 1):
+            a, b = tuple(pts[i]), tuple(pts[i + 1])
+            length = max(float(np.hypot(b[0] - a[0], b[1] - a[1])), 1e-6)
+            if i == len(pts) - 2:
+                cv2.arrowedLine(img, a, b, color, 2, tipLength=8 / length)
+            else:
+                cv2.line(img, a, b, color, 2)
+        (xc, yc), (d1, d2), ang = self.editor.current
+        cv2.ellipse(img, (((xc, yc)), (d1, d2), ang), color, 2)
+        return img
+
+    # ------------------------------------------------------------------
+    # preview galleries (the demo's 'Original Preview' / 'Edited Preview',
+    # blobctrl_app.py:881-957, :1113-1127)
+    # ------------------------------------------------------------------
+
+    def ori_preview_gallery(self) -> List[np.ndarray]:
+        """[image+ellipse overlay, mask-blacked image, mask, start-ellipse
+        mask, start-ellipse-blacked image]."""
+        assert self.original_image is not None and self.editor.entries
+        e0 = self.editor.initial
+        emask = viz_lib.ellipse_mask(e0, self.size, self.size)
+        out = [viz_lib.draw_ellipse(self.original_image.copy(), e0),
+               viz_lib.composite_mask_and_image(
+                   self.mask if self.mask is not None else emask,
+                   self.original_image),
+               np.asarray(self.mask if self.mask is not None else emask),
+               emask,
+               viz_lib.composite_mask_and_image(emask, self.original_image)]
+        return out
+
+    def edited_preview_gallery(self) -> List[np.ndarray]:
+        """[edited background (start white, target black), target mask]."""
+        assert self.original_image is not None and self.editor.entries
+        return [self.build_edited_background(),
+                viz_lib.ellipse_mask(self.editor.current, self.size, self.size)]
+
+    # ------------------------------------------------------------------
+    # compositional add + remove-mode toggle (blobctrl_app.py:1376-1461)
+    # ------------------------------------------------------------------
+
+    def set_init_ellipse(self, params) -> tuple:
+        """Manual target ellipse for compositional add. ``params`` is
+        (nxc, nyc, nd1, nd2, angle): center/axes normalized by width/height/
+        image diagonal (set_init_ellipse, blobctrl_app.py:1384-1437)."""
+        assert self.original_image is not None, "set an image first"
+        nxc, nyc, nd1, nd2, ang = [float(v) for v in params]
+        diag = float(np.hypot(self.size, self.size))
+        target = ((nxc * self.size, nyc * self.size),
+                  (nd1 * diag, nd2 * diag), ang)
+        self.editor.init_compositional(target)
+        self.mask = viz_lib.ellipse_mask(target, self.size, self.size)
+        self.tracking_points = [
+            [int(self.editor.initial[0][0]), int(self.editor.initial[0][1])],
+            [int(target[0][0]), int(target[0][1])]]
+        return target
+
+    def set_object_image(self, object_image: np.ndarray):
+        """Upload a foreground object for compositional add: center-crop to
+        the canvas, extract the non-white region onto a white canvas
+        (upload_object_image, blobctrl_app.py:1440-1461)."""
+        assert self.editor.entries, "set the target ellipse first"
+        obj = initialize_image(np.asarray(object_image), self.size)
+        mask = (obj.astype(np.int32).sum(-1) < 255 * 3 - 10).astype(np.uint8) * 255
+        self.fg_image = editor_lib.object_region_on_canvas(obj, mask, canvas=self.size)
+        self._remove_inflated = False
+        return self.fg_image
+
+    def set_remove_mode(self, remove: bool):
+        """Remove mode inflates the start blob 1.2x so the white-out region
+        surrounds the object (remove_blob_box_func, blobctrl_app.py:1376).
+        Unlike the reference, toggling is idempotent: unchecking restores the
+        original size instead of compounding."""
+        if remove and not self._remove_inflated:
+            self.editor.resize_start(1.2, 0)
+            self._remove_inflated = True
+        elif not remove and self._remove_inflated:
+            self.editor.resize_start(1.0 / 1.2, 0)
+            self._remove_inflated = False
+        return self.editor.initial
 
     # ------------------------------------------------------------------
     # backgrounds + generation
@@ -289,6 +429,7 @@ class BlobCtrlSession:
             (((e[0][0][0], e[0][0][1]), (e[0][1][0], e[0][1][1]), e[0][2]),
              tuple(e[1]), e[2])
             for e in state["ellipse_lists"]]
+        self.tracking_points = [list(p) for p in state.get("tracking_points", [])]
         return state
 
     def run(self, prompt: str, num_samples: int = 1, seed: int = 1248464818,

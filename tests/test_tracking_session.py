@@ -1,0 +1,121 @@
+"""Click-to-move tracking points, preview galleries, compositional add, and
+remove-mode toggle — the demo UX state machine, headless
+(vs /root/reference/scripts/blobctrl_app.py:1046-1461 semantics)."""
+
+import numpy as np
+import pytest
+
+from blobctrl_tpu.apps.session import BlobCtrlSession
+from blobctrl_tpu.apps.gradio_app import parse_init_ellipse, list_examples
+
+
+@pytest.fixture
+def sess():
+    s = BlobCtrlSession(pipeline=None, size=256)
+    s.original_image = np.full((256, 256, 3), 120, np.uint8)
+    s.editor.init_from_ellipse(((100.0, 100.0), (60.0, 90.0), 20.0))
+    return s
+
+
+def test_first_click_guard_and_center_selection(sess):
+    # click OUTSIDE the start ellipse -> warning, no point
+    overlay, warn = sess.add_tracking_point(240, 240)
+    assert warn is not None and sess.tracking_points == []
+    assert overlay is not None
+    # click inside -> the appended point is the start-ellipse CENTER
+    overlay, warn = sess.add_tracking_point(105, 102)
+    assert warn is None
+    assert sess.tracking_points == [[100, 100]]
+    assert sess.editor.current[0] == (100.0, 100.0)  # no move yet
+
+
+def test_subsequent_clicks_move_by_delta(sess):
+    sess.add_tracking_point(100, 100)
+    sess.add_tracking_point(150, 120)
+    assert sess.editor.current[0] == (150.0, 120.0)
+    sess.add_tracking_point(160, 100)
+    assert sess.editor.current[0] == (160.0, 100.0)
+    assert len(sess.tracking_points) == 3
+    # undo pops the point and the move
+    sess.undo_tracking_point()
+    assert sess.editor.current[0] == (150.0, 120.0)
+    assert len(sess.tracking_points) == 2
+    # reset clears everything
+    sess.reset_tracking_points()
+    assert sess.tracking_points == []
+    assert sess.editor.current[0] == (100.0, 100.0)
+
+
+def test_tracking_overlay_draws(sess):
+    sess.add_tracking_point(100, 100)
+    sess.add_tracking_point(170, 150)
+    img = sess.tracking_overlay()
+    assert img.shape == (256, 256, 3) and img.dtype == np.uint8
+    base = sess.blob_visualization()
+    assert np.abs(img.astype(int) - base.astype(int)).max() > 0  # overlays drawn
+
+
+def test_preview_galleries(sess):
+    sess.add_tracking_point(100, 100)
+    sess.add_tracking_point(180, 150)
+    ori = sess.ori_preview_gallery()
+    assert len(ori) == 5 and all(g.shape[:2] == (256, 256) for g in ori)
+    ed = sess.edited_preview_gallery()
+    assert len(ed) == 2
+    # edited preview = edited background (start white, target black)
+    np.testing.assert_array_equal(ed[0], sess.build_edited_background())
+    # start region is whited where the target does not overlap
+    assert (ed[0] == 255).all(-1).sum() > 100
+
+
+def test_set_init_ellipse_and_object(sess):
+    target = sess.set_init_ellipse([0.5, 0.5, 0.2, 0.1, 45.0])
+    assert target[0] == (128.0, 128.0)
+    diag = float(np.hypot(256, 256))
+    np.testing.assert_allclose(target[1], (0.2 * diag, 0.1 * diag))
+    assert sess.editor.initial[1] == (1e-5, 1e-5)   # degenerate start
+    assert len(sess.tracking_points) == 2           # center -> target arrow
+    # object upload: non-white region recentred on a white canvas
+    obj = np.full((300, 300, 3), 255, np.uint8)
+    obj[100:200, 120:220] = 30
+    fg = sess.set_object_image(obj)
+    assert fg.shape == (256, 256, 3)
+    assert (fg == 255).all(-1).mean() > 0.5         # white canvas
+    assert (fg < 100).all(-1).sum() > 1000          # object present
+
+
+def test_remove_mode_toggle_idempotent(sess):
+    d0 = sess.editor.initial[1]
+    sess.set_remove_mode(True)
+    d1 = sess.editor.initial[1]
+    np.testing.assert_allclose(d1, (d0[0] * 1.2, d0[1] * 1.2))
+    sess.set_remove_mode(True)      # no compounding
+    np.testing.assert_allclose(sess.editor.initial[1], d1)
+    sess.set_remove_mode(False)     # restores
+    np.testing.assert_allclose(sess.editor.initial[1], d0, rtol=1e-6)
+
+
+def test_parse_init_ellipse():
+    assert parse_init_ellipse("[0.5, 0.5, 0.2, 0.2, 180]") == [0.5, 0.5, 0.2, 0.2, 180.0]
+    assert parse_init_ellipse("(0.1,0.2,0.3,0.4,5)") == [0.1, 0.2, 0.3, 0.4, 5.0]
+    with pytest.raises(ValueError):
+        parse_init_ellipse("[1,2,3]")
+    with pytest.raises(ValueError):
+        parse_init_ellipse("__import__('os')")
+
+
+DEMO_ROOT = "/root/reference/assets/results/demo"
+
+
+@pytest.mark.skipif(not list_examples(DEMO_ROOT), reason="no demo assets")
+def test_example_states_load_with_tracking_points():
+    examples = list_examples(DEMO_ROOT)
+    assert len(examples) == 9
+    s = BlobCtrlSession(pipeline=None, size=512)
+    for name, d in examples:
+        state = s.load_state(d)
+        assert s.editor.entries, name
+        assert s.original_image is not None, name
+        overlay = s.tracking_overlay()
+        assert overlay.shape == (512, 512, 3), name
+        assert len(s.edited_preview_gallery()) == 2, name
