@@ -121,6 +121,30 @@ def group_norm(params, x: Array, num_groups: int, eps: float = 1e-5) -> Array:
     return y.astype(orig_dtype)
 
 
+def group_norm_scale_shift(params, x: Array, num_groups: int,
+                           eps: float = 1e-5):
+    """Fold GroupNorm statistics into per-(batch, channel) affine terms.
+
+    Returns fp32 ``(scale, shift)`` each of shape (N, C) such that
+    ``group_norm(params, x) == x * scale + shift`` (up to rounding).  Used by
+    the fused GroupNorm+SiLU+conv3x3 Pallas path: the stats are a cheap
+    reduction; the normalize+activate pass then fuses into the conv prologue
+    instead of a separate HBM round-trip.
+    """
+    n = x.shape[0]
+    c = x.shape[-1]
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(n, -1, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+    rs = lax.rsqrt(var + eps)
+    rs = jnp.broadcast_to(rs, (n, 1, g, c // g)).reshape(n, c)
+    mu = jnp.broadcast_to(mean, (n, 1, g, c // g)).reshape(n, c)
+    scale = rs * params["scale"][None].astype(jnp.float32)
+    shift = params["bias"][None].astype(jnp.float32) - mu * scale
+    return scale, shift
+
+
 def layer_norm(params, x: Array, eps: float = 1e-5) -> Array:
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)

@@ -14,6 +14,56 @@ from blobctrl_tpu.nn import layers
 
 Array = jax.Array
 
+# Conv backend for the stride-1 3x3 convs in the resnet stack:
+#   "xla"       — lax.conv_general_dilated everywhere
+#   "pallas"    — the Pallas implicit-GEMM conv3x3 kernel (with the fused
+#                 GroupNorm+SiLU prologue) wherever shapes qualify
+#   "interpret" — as "pallas" but in Pallas interpret mode (CPU tests)
+#   "auto"      — "pallas" on TPU, "xla" otherwise
+# Read statically at trace time, like nn.attention's backend switch.
+_CONV_BACKEND = "auto"
+
+
+def set_conv_backend(backend: str):
+    global _CONV_BACKEND
+    assert backend in ("xla", "pallas", "interpret", "auto"), backend
+    _CONV_BACKEND = backend
+
+
+def get_conv_backend() -> str:
+    return _CONV_BACKEND
+
+
+def _route_conv(x: Array, c_out: int):
+    """-> (use_pallas, interpret) for a stride-1 same-size 3x3 conv on x.
+
+    Measured on v5e (scripts/bench_conv_shapes.py + bench_conv_backends.py):
+    isolated per-shape timing says the Pallas kernel wins at most but not all
+    production shapes (it loses ~7% at 320->320 from the c_out 320->384 lane
+    pad, and at the tiny 8x16 level-3 spatials where the row grid starves) —
+    yet END-TO-END, routing *everything* beats both all-XLA and the per-shape
+    mixed routing (3.85 s vs 3.96 / 4.02): mixed backends break XLA's fusion
+    chains around the leftover GroupNorm+SiLU stragglers. So "auto" routes
+    every shape the kernel tiles (h % 8 == 0, full-row blocks)."""
+    if _CONV_BACKEND == "xla":
+        return False, False
+    b, h, w, c = x.shape
+    if h % 8 != 0 or w < 8:
+        return False, False
+    if _CONV_BACKEND == "interpret":
+        return True, True
+    if _CONV_BACKEND == "pallas":
+        return True, False
+    return c >= 32 and jax.default_backend() == "tpu", False
+
+
+def _conv3x3_maybe_fused(conv_params, x: Array, scale=None, shift=None,
+                         interpret: bool = False) -> Array:
+    from blobctrl_tpu.ops import conv3x3 as conv3x3_op
+    return conv3x3_op.conv3x3(x, conv_params["kernel"],
+                              conv_params.get("bias"),
+                              scale=scale, shift=shift, interpret=interpret)
+
 
 def init_resnet_block(key, c_in: int, c_out: int, temb_dim: Optional[int]):
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -32,15 +82,24 @@ def init_resnet_block(key, c_in: int, c_out: int, temb_dim: Optional[int]):
 
 def resnet_block(params, x: Array, temb: Optional[Array] = None,
                  norm_groups: int = 32, eps: float = 1e-5) -> Array:
-    h = layers.group_norm(params["norm1"], x, norm_groups, eps)
-    h = layers.silu(h)
-    h = layers.conv2d(params["conv1"], h, padding=1)
+    def norm_act_conv(conv_params, norm_params, y):
+        use_pallas, interpret = _route_conv(y, conv_params["kernel"].shape[-1])
+        if use_pallas:
+            # GroupNorm folded to per-(B,C) affine; normalize+SiLU fuse into
+            # the Pallas conv prologue instead of an extra HBM round-trip
+            s, sh = layers.group_norm_scale_shift(norm_params, y, norm_groups,
+                                                  eps)
+            return _conv3x3_maybe_fused(conv_params, y, scale=s, shift=sh,
+                                        interpret=interpret)
+        y = layers.group_norm(norm_params, y, norm_groups, eps)
+        y = layers.silu(y)
+        return layers.conv2d(conv_params, y, padding=1)
+
+    h = norm_act_conv(params["conv1"], params["norm1"], x)
     if temb is not None and "time_emb_proj" in params:
         t = layers.linear(params["time_emb_proj"], layers.silu(temb))
         h = h + t[:, None, None, :]
-    h = layers.group_norm(params["norm2"], h, norm_groups, eps)
-    h = layers.silu(h)
-    h = layers.conv2d(params["conv2"], h, padding=1)
+    h = norm_act_conv(params["conv2"], params["norm2"], h)
     if "conv_shortcut" in params:
         x = layers.conv2d(params["conv_shortcut"], x)
     return x + h
@@ -68,4 +127,7 @@ def upsample_2d(params, x: Array, out_hw: Optional[tuple] = None) -> Array:
         hi = (jnp.arange(oh) * h // oh).astype(jnp.int32)
         wi = (jnp.arange(ow) * w // ow).astype(jnp.int32)
         x = x[:, hi][:, :, wi]
+    use_pallas, interpret = _route_conv(x, params["conv"]["kernel"].shape[-1])
+    if use_pallas:
+        return _conv3x3_maybe_fused(params["conv"], x, interpret=interpret)
     return layers.conv2d(params["conv"], x, padding=1)

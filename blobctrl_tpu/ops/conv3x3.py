@@ -50,9 +50,12 @@ def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref):
     o_ref[0] = acc_ref[:].reshape(bh, w, o_ref.shape[3]).astype(o_ref.dtype)
 
 
-def _pick_co_block(c_out: int) -> int:
+def _pick_co_block(c_in: int, c_out: int, itemsize: int) -> int:
+    # bound the resident weight tile (9, C, BC) to ~4 MB of VMEM — at the
+    # up-block concat widths (C up to 2560) a 256-wide tile would not fit
+    # next to the three input views
     for bc in (256, 128):
-        if c_out % bc == 0:
+        if c_out % bc == 0 and 9 * c_in * bc * itemsize <= 4 * 1024 * 1024:
             return bc
     return 128
 
@@ -89,12 +92,15 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
             shift = jnp.zeros((b, c), x.dtype)
         elif shift.ndim == 1:
             shift = jnp.broadcast_to(shift[None], (b, c))
-        x = jax.nn.silu(x * scale[:, None, None, :].astype(x.dtype)
-                        + shift[:, None, None, :].astype(x.dtype))
+        # elementwise prologue in fp32 (reads/writes stay in x.dtype; the
+        # folded GroupNorm affine loses precision if applied in bf16)
+        xf = (x.astype(jnp.float32) * scale[:, None, None, :].astype(jnp.float32)
+              + shift[:, None, None, :].astype(jnp.float32))
+        x = jax.nn.silu(xf).astype(x.dtype)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    bc = _pick_co_block(c_out)
+    bc = _pick_co_block(c, c_out, jnp.dtype(x.dtype).itemsize)
     co_pad = (c_out + bc - 1) // bc * bc - c_out
     wk = kernel.reshape(9, c, c_out).astype(x.dtype)
     bb = (bias if bias is not None else jnp.zeros((c_out,))).astype(jnp.float32)

@@ -228,8 +228,18 @@ class BlobNetPipeline:
             sched = unipc_lib.make(num_steps)
         elif scheduler_name == "ddim":
             sched = ddim_lib.make(num_steps)
-        elif scheduler_name == "dpm":
-            sched = dpm_lib.make(num_steps)
+        elif scheduler_name.startswith("dpm"):
+            # "dpm" plus any of the suffix tokens: _sde, _karras, _heun —
+            # e.g. "dpm_sde_karras" = DPM++ 2M SDE Karras
+            toks = set(scheduler_name.split("_")[1:])
+            unknown = toks - {"sde", "karras", "heun"}
+            if unknown:
+                raise ValueError(f"unknown dpm variant tokens {sorted(unknown)}")
+            sched = dpm_lib.make(
+                num_steps,
+                algorithm_type="sde-dpmsolver++" if "sde" in toks else "dpmsolver++",
+                solver_type="heun" if "heun" in toks else "midpoint",
+                use_karras_sigmas="karras" in toks)
         else:
             raise ValueError(f"unknown scheduler {scheduler_name}")
 
@@ -241,7 +251,7 @@ class BlobNetPipeline:
         @jax.jit  # no donation: caller-supplied latents must stay valid
         def denoise(unet_params, blobnet_params, latents, prompt_embeds,
                     fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales,
-                    guidance_scale, key_mask):
+                    guidance_scale, key_mask, noise_key):
             """latents: (B, h, w, 4) f32. fg/bg_lat: (CB, h, w, 4);
             fg/bg_score: (CB, h, w, 1); fg_feats: (CB, h, w, Cd);
             cond_scales: (S,) f32; key_mask: (S,) bool (all True = exact).
@@ -332,7 +342,7 @@ class BlobNetPipeline:
 
             if scheduler_name == "unipc":
                 state = unipc_lib.init_state(sched, latents)
-            elif scheduler_name == "dpm":
+            elif scheduler_name.startswith("dpm"):
                 state = dpm_lib.init_state(sched, latents)
             else:
                 state = (latents,)
@@ -340,8 +350,14 @@ class BlobNetPipeline:
             def sched_step(i, noise_pred, state):
                 if scheduler_name == "unipc":
                     return unipc_lib.step(sched, i, noise_pred, state)
-                if scheduler_name == "dpm":
-                    return dpm_lib.step(sched, i, noise_pred, state)
+                if scheduler_name.startswith("dpm"):
+                    noise = None
+                    if sched.stochastic:
+                        noise = jax.random.normal(
+                            jax.random.fold_in(noise_key, i),
+                            state[0].shape, jnp.float32)
+                    return dpm_lib.step(sched, i, noise_pred, state,
+                                        noise=noise)
                 return (ddim_lib.step(sched, i, noise_pred, state[0]),)
 
             if not encoder_cache:
@@ -432,12 +448,13 @@ class BlobNetPipeline:
 
         # latents. seed=None draws FRESH noise each call (matching the torch
         # reference's default-generator behavior) — pass a seed for
-        # reproducibility.
+        # reproducibility. The same seed also drives stochastic-scheduler
+        # (sde-dpmsolver++) per-step variance noise.
+        if seed is None:
+            import os as _os
+            seed = int.from_bytes(_os.urandom(4), "little")
+        key = jax.random.PRNGKey(seed)
         if latents is None:
-            if seed is None:
-                import os as _os
-                seed = int.from_bytes(_os.urandom(4), "little")
-            key = jax.random.PRNGKey(seed)
             latents = jax.random.normal(key, (n, h, w, 4), jnp.float32)
         else:
             latents = jnp.asarray(latents, jnp.float32)
@@ -563,7 +580,8 @@ class BlobNetPipeline:
                         fg_lat, bg_lat, fg_score, bg_score, fg_feats,
                         jnp.asarray(cond_scales),
                         jnp.asarray(float(guidance_scale), jnp.float32),
-                        jnp.asarray(key_mask))
+                        jnp.asarray(key_mask),
+                        jax.random.fold_in(key, 0x5de))
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(final))

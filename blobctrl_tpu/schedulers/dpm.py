@@ -1,20 +1,32 @@
-"""DPM-Solver++ (2M) multistep sampler — the reference CLI's imported
+"""DPM-Solver++ multistep sampler family — the reference CLI's imported
 alternative scheduler (/root/reference/scripts/blobctrl_inference.py:11-16;
-diffusers scheduling_dpmsolver_multistep.py, algorithm_type="dpmsolver++",
-epsilon prediction, lower_order_final).
+diffusers scheduling_dpmsolver_multistep.py).
+
+Covers the variants the reference file exposes for SD-style sampling:
+  * algorithm_type "dpmsolver++" (deterministic, the SD config) and
+    "sde-dpmsolver++" (ancestral / stochastic)
+  * solver_type "midpoint" (default) and "heun"
+  * use_karras_sigmas (Karras et al. 2022 rho-7 sigma spacing)
+  * solver_order 1/2, lower_order_final, final_sigmas_type zero/sigma_min
 
 Same TPU-first structure as unipc.py: all scalars precomputed host-side in
 float64; the device step is gathers + FMAs with a 1-deep history, jittable
-inside lax.fori_loop.
+inside lax.fori_loop.  The update for every supported variant collapses to
+one fused form (coefficients folded per step, D1's 1/r0 folded into c_1):
 
-Per-step device math (x0-prediction form):
-  order 1:  x <- c_x[i] * x - c_0[i] * m0
-  order 2:  x <- c_x[i] * x - c_0[i] * m0 - c_1[i] * (m0 - m1)
+  x <- c_x[i] * x - c_0[i] * m0 - c_1[i] * (m0 - m1) + c_n[i] * noise
+
+with m0 the x0-prediction at step i (epsilon -> x0 via conv_a/conv_s) and
+c_n = 0 for the deterministic algorithm.  Formula sources (behavioral
+reference, not copied): multistep_dpm_solver_{first,second}_order_update,
+scheduling_dpmsolver_multistep.py:640-790; Karras conversion :475-500;
+sigma->t inversion :440-473.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +46,8 @@ class DPMSchedule:
     c_x: Array      # (S,)
     c_0: Array      # (S,)
     c_1: Array      # (S,)
+    c_n: Array      # (S,) noise coefficient; all-zero for deterministic
+    stochastic: bool = False
     init_noise_sigma: float = 1.0
 
     @property
@@ -41,18 +55,54 @@ class DPMSchedule:
         return len(self.timesteps)
 
 
+def _sigma_to_t(sigma: float, log_sigmas: np.ndarray) -> float:
+    """Invert the train-sigma table: continuous t with log-sigma interpolation
+    (diffusers _sigma_to_t semantics)."""
+    log_sigma = np.log(max(sigma, 1e-10))
+    dists = log_sigma - log_sigmas
+    low_idx = int(np.clip(np.cumsum(dists >= 0).argmax(), 0,
+                          len(log_sigmas) - 2))
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = float(np.clip((low - log_sigma) / (low - high), 0.0, 1.0))
+    return (1.0 - w) * low_idx + w * high_idx
+
+
+def karras_sigmas(sigma_min: float, sigma_max: float, n: int,
+                  rho: float = 7.0) -> np.ndarray:
+    """Karras et al. 2022 sigma ramp, descending from sigma_max."""
+    ramp = np.linspace(0, 1, n)
+    min_inv_rho = sigma_min ** (1 / rho)
+    max_inv_rho = sigma_max ** (1 / rho)
+    return (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** rho
+
+
 def make(num_inference_steps: int, num_train_timesteps: int = 1000,
          beta_start: float = 0.00085, beta_end: float = 0.012,
          beta_schedule: str = "scaled_linear", solver_order: int = 2,
          lower_order_final: bool = True, spacing: str = "linspace",
-         steps_offset: int = 0, final_sigmas_type: str = "zero") -> DPMSchedule:
+         steps_offset: int = 0, final_sigmas_type: str = "zero",
+         algorithm_type: str = "dpmsolver++", solver_type: str = "midpoint",
+         use_karras_sigmas: bool = False) -> DPMSchedule:
+    assert algorithm_type in ("dpmsolver++", "sde-dpmsolver++"), algorithm_type
+    assert solver_type in ("midpoint", "heun"), solver_type
+    sde = algorithm_type == "sde-dpmsolver++"
+
     betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
     all_sigmas = np.sqrt((1.0 - acp) / acp)
-    ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
-                               spacing, steps_offset)
+
+    if use_karras_sigmas:
+        log_sigmas = np.log(all_sigmas)
+        sigmas = karras_sigmas(float(all_sigmas[0]), float(all_sigmas[-1]),
+                               num_inference_steps)
+        ts = np.array([round(_sigma_to_t(s, log_sigmas)) for s in sigmas],
+                      dtype=np.int64)
+    else:
+        ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
+                                   spacing, steps_offset)
+        sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
     S = len(ts)
-    sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
     sigma_last = 0.0 if final_sigmas_type == "zero" else float(all_sigmas[0])
     sigmas = np.concatenate([sigmas, [sigma_last]])
 
@@ -70,15 +120,24 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
     c_x = np.zeros(S)
     c_0 = np.zeros(S)
     c_1 = np.zeros(S)
+    c_n = np.zeros(S)
 
     lower_order_nums = 0
     for i in range(S):
         conv_a[i], conv_s[i] = a_s(sigmas[i])
         alpha_t, sigma_t = a_s(sigmas[i + 1])
+        sigma_s = a_s(sigmas[i])[1]
         h = lam(sigmas[i + 1]) - lam(sigmas[i])
-        c_x[i] = sigma_t / a_s(sigmas[i])[1]
-        e = np.expm1(-h)  # e^{-h} - 1
-        c_0[i] = alpha_t * e
+
+        if sde:
+            em2h = np.exp(-2.0 * h)          # e^{-2h}
+            c_x[i] = sigma_t / sigma_s * np.exp(-h)
+            c_0[i] = -alpha_t * (1.0 - em2h)
+            c_n[i] = sigma_t * np.sqrt(max(1.0 - em2h, 0.0))
+        else:
+            e = np.expm1(-h)                 # e^{-h} - 1
+            c_x[i] = sigma_t / sigma_s
+            c_0[i] = alpha_t * e
 
         order = min(solver_order, lower_order_nums + 1)
         if lower_order_final:
@@ -86,26 +145,48 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
         if order >= 2:
             h_0 = lam(sigmas[i]) - lam(sigmas[i - 1])
             r0 = h_0 / h
-            c_1[i] = alpha_t * e * 0.5 / r0
+            if sde:
+                if solver_type == "midpoint":
+                    c_1[i] = -0.5 * alpha_t * (1.0 - np.exp(-2.0 * h)) / r0
+                else:  # heun
+                    c_1[i] = -alpha_t * ((1.0 - np.exp(-2.0 * h)) / (-2.0 * h)
+                                         + 1.0) / r0
+            else:
+                if solver_type == "midpoint":
+                    c_1[i] = alpha_t * np.expm1(-h) * 0.5 / r0
+                else:  # heun
+                    c_1[i] = -alpha_t * (np.expm1(-h) / h + 1.0) / r0
         if not np.isfinite(c_1[i]):
             c_1[i] = 0.0
+        if not np.isfinite(c_x[i]):
+            c_x[i] = 0.0
+        if not np.isfinite(c_n[i]):
+            c_n[i] = 0.0
         lower_order_nums = min(lower_order_nums + 1, solver_order)
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return DPMSchedule(timesteps=ts, timesteps_jax=jnp.asarray(ts),
                        conv_a=f32(conv_a), conv_s=f32(conv_s),
-                       c_x=f32(c_x), c_0=f32(c_0), c_1=f32(c_1))
+                       c_x=f32(c_x), c_0=f32(c_0), c_1=f32(c_1),
+                       c_n=f32(c_n), stochastic=sde)
 
 
 def init_state(sched: DPMSchedule, sample: Array):
     return (sample, jnp.zeros_like(sample, dtype=jnp.float32))
 
 
-def step(sched: DPMSchedule, i: Array, model_output: Array, state):
+def step(sched: DPMSchedule, i: Array, model_output: Array, state,
+         noise: Optional[Array] = None):
+    """One multistep update.  ``noise`` (standard normal, sample-shaped) is
+    required when the schedule is stochastic (sde-dpmsolver++); deterministic
+    schedules ignore it."""
     sample, m1 = state
     x = sample.astype(jnp.float32)
     m0 = (x - sched.conv_s[i] * model_output.astype(jnp.float32)) / sched.conv_a[i]
     new_x = sched.c_x[i] * x - sched.c_0[i] * m0 - sched.c_1[i] * (m0 - m1)
+    if sched.stochastic:
+        assert noise is not None, "sde-dpmsolver++ requires per-step noise"
+        new_x = new_x + sched.c_n[i] * noise.astype(jnp.float32)
     return (new_x.astype(sample.dtype), m0)
 
 

@@ -40,6 +40,7 @@ def test_orbax_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_blobnet_export_reimport_roundtrip(tmp_path):
     from blobctrl_tpu.params import convert
     _, blobnet_cfg = flagship.tiny_configs()

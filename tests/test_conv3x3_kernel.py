@@ -43,3 +43,52 @@ def test_conv3x3_fused_silu_prologue():
     got = conv3x3(x, k, bias, scale=a, shift=s, interpret=True)
     rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
     assert rel < 1e-5, rel
+
+
+def test_group_norm_scale_shift_folding():
+    """group_norm(x) == x * scale + shift with the folded affine terms."""
+    b, h, w, c, g = 2, 6, 10, 64, 8
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    p = {"scale": jnp.asarray(RNG.rand(c) + 0.5, jnp.float32),
+         "bias": jnp.asarray(RNG.randn(c) * 0.2, jnp.float32)}
+    ref = layers.group_norm(p, x, g)
+    a, s = layers.group_norm_scale_shift(p, x, g)
+    got = x * a[:, None, None, :] + s[:, None, None, :]
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+
+
+def test_resnet_block_pallas_route_matches_xla():
+    """resnet_block with the Pallas conv backend (interpret) == XLA backend,
+    exercising the fused GroupNorm+SiLU+conv prologue end-to-end."""
+    from blobctrl_tpu.nn import resnet
+
+    b, h, w, c, co, temb_dim = 2, 8, 16, 64, 128, 32
+    key = jax.random.PRNGKey(3)
+    params = resnet.init_resnet_block(key, c, co, temb_dim)
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    temb = jnp.asarray(RNG.randn(b, temb_dim), jnp.float32)
+
+    ref = resnet.resnet_block(params, x, temb, norm_groups=8)
+    resnet.set_conv_backend("interpret")
+    try:
+        got = resnet.resnet_block(params, x, temb, norm_groups=8)
+    finally:
+        resnet.set_conv_backend("auto")
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel
+
+
+def test_upsample_pallas_route_matches_xla():
+    from blobctrl_tpu.nn import resnet
+
+    key = jax.random.PRNGKey(4)
+    params = resnet.init_upsample(key, 64, 128)
+    x = jnp.asarray(RNG.randn(1, 4, 8, 64), jnp.float32)
+    ref = resnet.upsample_2d(params, x)
+    resnet.set_conv_backend("interpret")
+    try:
+        got = resnet.upsample_2d(params, x)
+    finally:
+        resnet.set_conv_backend("auto")
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel

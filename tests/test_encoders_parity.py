@@ -47,6 +47,7 @@ def test_tiny_vae_parity():
                  name="vae_decode")
 
 
+@pytest.mark.slow
 def test_tiny_clip_text_parity():
     from transformers import CLIPTextModel, CLIPTextConfig
     torch.manual_seed(0)

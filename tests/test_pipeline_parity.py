@@ -270,6 +270,7 @@ def test_pipeline_ddim_and_multisample_parity():
     assert_close(out, ref_out, atol=5e-3, rtol=5e-2, name="pipeline_ddim_ms")
 
 
+@pytest.mark.slow
 def test_blobnet_guess_mode_parity():
     unet_t, blobnet_t, *_ = build_torch_models()
     params = convert.convert_unet(blobnet_t.state_dict())

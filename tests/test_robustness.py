@@ -210,3 +210,30 @@ def test_seed_none_draws_fresh_noise(tiny):
     c = pipe(seed=7, **kw).images
     d = pipe(seed=7, **kw).images
     np.testing.assert_array_equal(c, d)  # explicit seed reproducible
+
+
+@pytest.mark.slow
+def test_dpm_scheduler_variants_run_e2e(tiny):
+    """The pipeline accepts every DPM variant name; SDE is seeded and
+    reproducible; karras differs from the plain spacing."""
+    rng = np.random.RandomState(0)
+    pipe = BlobNetPipeline(**tiny)
+    kw = dict(fg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+              bg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+              gs_score=np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32),
+              height=64, width=64, num_inference_steps=3, guidance_scale=7.5,
+              prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              fg_dino_feats=rng.randn(1, 16).astype(np.float32), seed=5)
+    outs = {}
+    for name in ("dpm", "dpm_karras", "dpm_sde", "dpm_sde_karras", "dpm_heun"):
+        outs[name] = pipe(scheduler=name, **kw).images
+        assert np.isfinite(outs[name]).all(), name
+    # same seed -> SDE reproducible
+    np.testing.assert_array_equal(outs["dpm_sde"],
+                                  pipe(scheduler="dpm_sde", **kw).images)
+    # variants genuinely change the trajectory
+    assert np.abs(outs["dpm"] - outs["dpm_karras"]).max() > 1e-4
+    assert np.abs(outs["dpm"] - outs["dpm_sde"]).max() > 1e-4
+    with pytest.raises(ValueError, match="dpm variant"):
+        pipe(scheduler="dpm_bogus", **kw)

@@ -148,3 +148,43 @@ def test_ddim_eta_variance_matches_diffusers():
                         noise_key=key)
     assert_close(np.asarray(x), x_ref.numpy(), atol=1e-3, rtol=1e-2,
                  name="ddim_eta")
+
+
+@pytest.mark.parametrize("steps,algo,stype,karras", [
+    (10, "dpmsolver++", "midpoint", True),     # DPM++ 2M Karras
+    (10, "dpmsolver++", "heun", False),
+    (10, "sde-dpmsolver++", "midpoint", False),  # DPM++ 2M SDE
+    (10, "sde-dpmsolver++", "heun", True),
+    (25, "sde-dpmsolver++", "midpoint", True),   # DPM++ 2M SDE Karras
+])
+def test_dpm_variants_match_diffusers(steps, algo, stype, karras):
+    """SDE / Karras / heun DPM-Solver++ variants vs the torch oracle, feeding
+    both sides the same per-step variance noise."""
+    from blobctrl_tpu.schedulers import dpm as jdpm
+    import_diffusers()
+    from diffusers import DPMSolverMultistepScheduler
+    ref_sched = DPMSolverMultistepScheduler(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        algorithm_type=algo, solver_type=stype, solver_order=2,
+        use_karras_sigmas=karras)
+    ref_sched.set_timesteps(steps)
+    sched = jdpm.make(steps, algorithm_type=algo, solver_type=stype,
+                      use_karras_sigmas=karras)
+    np.testing.assert_array_equal(sched.timesteps, ref_sched.timesteps.numpy())
+    assert sched.stochastic == (algo == "sde-dpmsolver++")
+
+    outs = fake_model_outputs(steps, seed=steps)
+    key = jax.random.PRNGKey(9)
+    x_ref = torch.from_numpy(np.ones(SHAPE, np.float32))
+    state = jdpm.init_state(sched, jnp.asarray(np.ones(SHAPE, np.float32)))
+    for i, t in enumerate(ref_sched.timesteps):
+        noise = np.asarray(jax.random.normal(jax.random.fold_in(key, i),
+                                             SHAPE, jnp.float32))
+        kw = ({"variance_noise": torch.from_numpy(noise)}
+              if algo == "sde-dpmsolver++" else {})
+        x_ref = ref_sched.step(torch.from_numpy(outs[i]), t, x_ref,
+                               **kw).prev_sample
+        state = jdpm.step(sched, jnp.asarray(i), jnp.asarray(outs[i]), state,
+                          noise=jnp.asarray(noise))
+    assert_close(np.asarray(jdpm.final_sample(state)), x_ref.numpy(),
+                 atol=1e-3, rtol=1e-2, name=f"dpm_{algo}_{stype}_k{karras}")

@@ -56,6 +56,7 @@ TINY_CFG = unet_lib.UNetConfig(
 )
 
 
+@pytest.mark.slow
 def test_tiny_unet_parity():
     tunet = tiny_torch_unet()
     params = convert.convert_unet(tunet.state_dict())
