@@ -23,6 +23,7 @@ reference implementation used on all backends.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -109,6 +110,7 @@ def ellipse_from_normalized_gaussian(mean, cov, width: int, height: int):
 # Splatting (jittable JAX)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames="score_hw")
 def splat_scores(xs: Array, ys: Array, covs: Array, sizes: Array,
                  score_hw: Tuple[int, int]) -> Array:
     """Splat M Gaussians into depth-ordered composited score maps.

@@ -214,13 +214,20 @@ class BlobNetPipeline:
     # jitted denoise loop
     # ------------------------------------------------------------------
 
-    def _get_denoise_fn(self, scheduler_name: str, num_steps: int,
-                        do_cfg: bool, use_blobnet: bool = True,
-                        encoder_cache: bool = False):
+    def _get_edit_fn(self, scheduler_name: str, num_steps: int,
+                     do_cfg: bool, use_blobnet: bool = True,
+                     encoder_cache: bool = False, decode: bool = True):
+        """One jitted graph for the WHOLE edit: batched VAE encode of both
+        conditioning images, score/feature-splat prep, the denoise loop, and
+        the VAE decode. Fusing the fixed path matters on top of the loop: the
+        device tunnel costs ~30 ms per synchronized dispatch and the separate
+        encode/prep/decode calls measured ~0.5 s of the 3.9 s edit
+        (scripts/profile_fixed.py)."""
         # guidance_scale is a traced operand (sweeping it must not recompile
         # the 50-step graph), so it is NOT part of the cache key; neither is
         # the encoder-cache key-step mask (an operand array)
-        key = (scheduler_name, num_steps, do_cfg, use_blobnet, encoder_cache)
+        key = (scheduler_name, num_steps, do_cfg, use_blobnet, encoder_cache,
+               decode)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -244,11 +251,11 @@ class BlobNetPipeline:
             raise ValueError(f"unknown scheduler {scheduler_name}")
 
         unet_cfg, blobnet_cfg, dtype = self.unet_cfg, self.blobnet_cfg, self.dtype
+        vae_cfg = self.vae_cfg
 
         def crop_right(r: Array) -> Array:
             return r[:, :, r.shape[2] - r.shape[1]:, :]
 
-        @jax.jit  # no donation: caller-supplied latents must stay valid
         def denoise(unet_params, blobnet_params, latents, prompt_embeds,
                     fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales,
                     guidance_scale, key_mask, noise_key):
@@ -386,8 +393,46 @@ class BlobNetPipeline:
             state, _ = jax.lax.fori_loop(0, num_steps, body, (state, enc0))
             return state[0]
 
-        self._denoise_cache[key] = (denoise, sched)
-        return denoise, sched
+        @jax.jit  # no donation: caller-supplied latents must stay valid
+        def edit(unet_params, blobnet_params, vae_params, fg_img, bg_img,
+                 gs, pooled, prompt_embeds, latents, cond_scales,
+                 guidance_scale, key_mask, noise_key):
+            """fg_img/bg_img: (1, H, W, 3) f32 in [-1, 1]; gs: (1, h, w, M+1)
+            composited score layers [bg, fg_1..fg_M]; pooled: (M, Cd) per-blob
+            DINOv2 embeddings. Everything else as in denoise()."""
+            cfg_batch = prompt_embeds.shape[0]
+            # both conditioning images through ONE batched VAE encode
+            lat2 = vae_lib.encode_to_scaled_latents(
+                vae_params, vae_cfg,
+                jnp.concatenate([fg_img, bg_img], axis=0).astype(dtype)
+            ).astype(jnp.float32)
+            tile = lambda x: jnp.tile(x, (cfg_batch, 1, 1, 1))
+            fg_lat, bg_lat = tile(lat2[0:1]), tile(lat2[1:2])
+            bg_score = tile(gs[..., 0:1])
+            fg_layers = gs[..., 1:]
+            fg_score = tile(jnp.sum(fg_layers, axis=-1, keepdims=True))
+            # feature splat: per-blob score layers x per-blob appearance
+            # vectors (the general splat_features_from_scores, utils.py:74-77)
+            fg_feats = tile(jnp.einsum("nhwm,mc->nhwc", fg_layers, pooled))
+            final = denoise(unet_params, blobnet_params, latents,
+                            prompt_embeds, fg_lat, bg_lat, fg_score, bg_score,
+                            fg_feats, cond_scales, guidance_scale, key_mask,
+                            noise_key)
+            if not decode:
+                return final
+            img = vae_lib.decode_from_scaled_latents(
+                vae_params, vae_cfg, final.astype(dtype))
+            img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+            # uint8 transport: the device->host link in this environment
+            # moves ~16 MB/s, so fetching 512^2 float32 pixels costs ~190 ms
+            # per edit; uint8 is 4x smaller. The host converts back to the
+            # public float32 [0, 1] contract (1/255 quantization — below the
+            # fp16 noise floor of the reference stack, and images are saved
+            # as uint8 PNGs anyway).
+            return jnp.round(img * 255.0).astype(jnp.uint8)
+
+        self._denoise_cache[key] = (edit, sched)
+        return edit, sched
 
     # ------------------------------------------------------------------
     # public API
@@ -469,12 +514,10 @@ class BlobNetPipeline:
         if fg_vae_image is None:
             fg_vae_image = (fg_image[0] if isinstance(fg_image, (list, tuple))
                             else fg_image)
-        fg = jnp.asarray(preprocess_image(fg_vae_image, height, width))
-        bg = jnp.asarray(preprocess_image(bg_image, height, width))
-        fg_lat = self._encode_image(fg).astype(jnp.float32)
-        bg_lat = self._encode_image(bg).astype(jnp.float32)
-        fg_lat = jnp.tile(fg_lat, (cfg_batch, 1, 1, 1))
-        bg_lat = jnp.tile(bg_lat, (cfg_batch, 1, 1, 1))
+        fg = preprocess_image(fg_vae_image, height, width)
+        bg = preprocess_image(bg_image, height, width)
+        assert fg.shape[0] == 1 and bg.shape[0] == 1, \
+            "fg/bg conditioning images must be single images"
 
         # scores: accept NCHW (1,M+1,h,w) or NHWC (1,h,w,M+1). Slot 0 is the
         # background layer; slots 1..M are depth-ordered fg blobs. M=1 is the
@@ -482,23 +525,18 @@ class BlobNetPipeline:
         # edits): the BlobNet score channel is the sum of the composited fg
         # layers (disjoint by construction) and the appearance splat pairs
         # each blob with its own DINOv2 embedding.
-        gs = jnp.asarray(gs_score, jnp.float32)
+        gs = np.asarray(gs_score, np.float32)
         if gs.ndim == 3:
             gs = gs[None]
         # exact layout check against the known latent grid
         if gs.shape[1] == h and gs.shape[2] == w:
             pass  # NHWC
         elif gs.shape[2] == h and gs.shape[3] == w:
-            gs = jnp.transpose(gs, (0, 2, 3, 1))  # NCHW
+            gs = np.transpose(gs, (0, 2, 3, 1))  # NCHW
         else:
             raise ValueError(f"gs_score shape {gs.shape} does not match the "
                              f"latent grid ({h}, {w}) in NHWC or NCHW layout")
         num_blobs = gs.shape[-1] - 1
-        bg_score = gs[..., 0:1]
-        fg_layers = gs[..., 1:]                      # (1, h, w, M)
-        fg_score = jnp.sum(fg_layers, axis=-1, keepdims=True)
-        bg_score = jnp.tile(bg_score, (cfg_batch, 1, 1, 1))
-        fg_score = jnp.tile(fg_score, (cfg_batch, 1, 1, 1))
 
         # DINOv2 appearance feature splat. With M>1 blobs, fg_image may be a
         # list of M object images (or fg_dino_feats (M, Cd)) — each blob's
@@ -529,15 +567,15 @@ class BlobNetPipeline:
             pooled = jnp.tile(pooled, (num_blobs, 1))
         assert pooled.shape[0] == num_blobs, \
             f"{pooled.shape[0]} appearance embeddings for {num_blobs} blobs"
-        # feature splat: per-blob score layers x per-blob appearance vectors
-        # (the general splat_features_from_scores, utils.py:74-77)
-        fg_feats = jnp.einsum("nhwm,mc->nhwc", fg_layers, pooled)
-        fg_feats = jnp.tile(fg_feats, (cfg_batch, 1, 1, 1))
 
         cond_scales = (blobnet_keep_schedule(num_inference_steps,
                                              blobnet_control_guidance_start,
                                              blobnet_control_guidance_end)
                        * float(blobnet_conditioning_scale))
+
+        fg = jnp.asarray(fg)
+        bg = jnp.asarray(bg)
+        gs = jnp.asarray(gs)
 
         # multi-chip: shard batch-major tensors over the data axis (weights
         # are placed by shard_to_mesh); XLA GSPMD propagates the rest
@@ -552,9 +590,7 @@ class BlobNetPipeline:
 
             latents = put(latents)
             pe = put(pe)
-            fg_lat, bg_lat = put(fg_lat), put(bg_lat)
-            fg_score, bg_score = put(fg_score), put(bg_score)
-            fg_feats = put(fg_feats)
+            fg, bg, gs = put(fg), put(bg), put(gs)
 
         use_blobnet = bool(np.any(cond_scales != 0.0))
 
@@ -573,19 +609,19 @@ class BlobNetPipeline:
                           or cond_scales[i] != cond_scales[i - 1])
                 key_mask[i] = is_key
 
-        denoise, sched = self._get_denoise_fn(scheduler, num_inference_steps,
-                                              do_cfg, use_blobnet,
-                                              encoder_cache)
-        final = denoise(self.unet_params, self.blobnet_params, latents, pe,
-                        fg_lat, bg_lat, fg_score, bg_score, fg_feats,
-                        jnp.asarray(cond_scales),
-                        jnp.asarray(float(guidance_scale), jnp.float32),
-                        jnp.asarray(key_mask),
-                        jax.random.fold_in(key, 0x5de))
+        edit, sched = self._get_edit_fn(scheduler, num_inference_steps,
+                                        do_cfg, use_blobnet, encoder_cache,
+                                        decode=output_type != "latent")
+        out = edit(self.unet_params, self.blobnet_params, self.vae_params,
+                   fg, bg, gs, pooled, pe, latents,
+                   jnp.asarray(cond_scales),
+                   jnp.asarray(float(guidance_scale), jnp.float32),
+                   jnp.asarray(key_mask),
+                   jax.random.fold_in(key, 0x5de))
 
         if output_type == "latent":
-            return PipelineOutput(images=np.asarray(final))
-        images = np.asarray(self._decode_latents(final))
+            return PipelineOutput(images=np.asarray(out))
+        images = np.asarray(out).astype(np.float32) / 255.0
         has_nsfw = None
         if self.safety_checker is not None:
             has_nsfw = np.asarray(self.safety_checker(images))
