@@ -41,7 +41,8 @@ def main():
 
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    # the TPU host here shows +-10% run-to-run load variance; median-of-5
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
     unet_cfg = flagship.sd15_unet_config()
     blobnet_cfg = flagship.blobctrl_blobnet_config()
@@ -129,6 +130,22 @@ def main():
         run_cached()
         cache_sec = time.perf_counter() - t0
 
+    # int8 QK^T flash path (opt-in; measured only ~0.4% e2e on v5e — the
+    # kernel's MXU stage overlaps the VPU-bound softmax — so off by default)
+    int8_sec = None
+    if os.environ.get("BENCH_INT8", "0") == "1":
+        from blobctrl_tpu.nn import attention
+        attention.set_attention_backend("auto", qk_int8=True)
+        pipe._denoise_cache.clear()
+        try:
+            run()
+            t0 = time.perf_counter()
+            run()
+            int8_sec = time.perf_counter() - t0
+        finally:
+            attention.set_attention_backend("auto", qk_int8=False)
+            pipe._denoise_cache.clear()
+
     # remove-mode edit (strength 0 -> statically UNet-only loop)
     remove_sec = None
     if os.environ.get("BENCH_REMOVE", "1") == "1":
@@ -158,6 +175,7 @@ def main():
         "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
         "remove_edit_seconds": round(remove_sec, 4) if remove_sec else None,
         "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,
+        "int8_qk_edit_seconds": round(int8_sec, 4) if int8_sec else None,
         "device": str(jax.devices()[0]),
     }))
 

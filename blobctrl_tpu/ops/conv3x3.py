@@ -51,11 +51,11 @@ def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref):
 
 
 def _pick_co_block(c_in: int, c_out: int, itemsize: int) -> int:
-    # bound the resident weight tile (9, C, BC) to ~4 MB of VMEM — at the
-    # up-block concat widths (C up to 2560) a 256-wide tile would not fit
-    # next to the three input views
+    # bound the resident weight tile (9, C, BC) to ~3 MB of VMEM: Mosaic
+    # double-buffers every input block, so the effective footprint is 2x —
+    # at the up-block concat widths a fatter tile OOMs scoped VMEM (16 MB)
     for bc in (256, 128):
-        if c_out % bc == 0 and 9 * c_in * bc * itemsize <= 4 * 1024 * 1024:
+        if c_out % bc == 0 and 9 * c_in * bc * itemsize <= 3 * 1024 * 1024:
             return bc
     return 128
 
@@ -65,7 +65,8 @@ def _pick_row_block(h: int, w: int, c: int) -> int:
     bh = max(8, min(h, 2048 // max(w, 1)))
     while h % bh != 0:
         bh //= 2
-    while bh * (w + 2) * c * 2 > 2 * 1024 * 1024 and bh > 8:
+    # 1.25 MB per view x 3 views x 2 (double buffering) caps the input side
+    while bh * (w + 2) * c * 2 > 1280 * 1024 and bh > 8:
         bh //= 2
     return max(bh, 1) if h % max(bh, 1) == 0 else h
 
@@ -97,6 +98,25 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         xf = (x.astype(jnp.float32) * scale[:, None, None, :].astype(jnp.float32)
               + shift[:, None, None, :].astype(jnp.float32))
         x = jax.nn.silu(xf).astype(x.dtype)
+
+    # scoped-VMEM budget check: Mosaic double-buffers every in/out block, so
+    # the footprint is 2 x (3 row views + weight tile + out) + the fp32 acc.
+    # Over ~14 MB (16 MB limit minus slack for neighboring fusions), halve
+    # the contraction into two kernel calls; partial sums add in one XLA
+    # fusion. Covers the UNet up-path concat widths (1920/2560) and the
+    # wide-row level-0 shapes at large batch.
+    it = jnp.dtype(x.dtype).itemsize
+    bc_est = _pick_co_block(c, c_out, it)
+    bh_est = _pick_row_block(h, w, c)
+    est = (2 * (3 * bh_est * (w + 2) * c + 9 * c * bc_est) * it
+           + bh_est * w * bc_est * 4 + 2 * bh_est * w * bc_est * it)
+    if est > 14 * 1024 * 1024 and c % 2 == 0 and c >= 256:
+        half = c // 2
+        y0 = conv3x3(x[..., :half], kernel[:, :, :half], bias,
+                     interpret=interpret)
+        y1 = conv3x3(x[..., half:], kernel[:, :, half:], None,
+                     interpret=interpret)
+        return y0 + y1
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 

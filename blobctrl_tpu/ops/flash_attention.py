@@ -99,18 +99,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
 
 def _flash_kernel_int8(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
-                       acc_ref, m_ref, l_ref):
+                       acc_ref, l_ref, *, fixed_max: float):
     """int8 QK^T variant: q/k arrive per-row-quantized int8; the int32 MXU
     product is rescaled exactly by the per-row scales (softmax_scale folded
     into qs outside). PV stays bf16. int8 MXU peak is 2x bf16 on v5e, and
     QK^T carries the same d->128 padding tax either way, so the QK^T stage
-    halves."""
+    halves. Combined with the fixed-max softmax (see _flash_kernel_fixed_max)
+    to also drop the max-reduce pass and accumulator rescales."""
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(ik == 0)
     def _init():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
@@ -118,20 +118,13 @@ def _flash_kernel_int8(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
                               preferred_element_type=jnp.int32)
     # exact rescale: s[i,j] = s_i[i,j] * qscale[i] * kscale[j]
     s = s_i.astype(jnp.float32) * qs_ref[0] * ks_ref[0]
+    p = jnp.exp(s - fixed_max)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new[:, :1])
-
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = m_new
-
+    l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+    acc_ref[:] = acc_ref[:] + pv
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -223,7 +216,9 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
         qs = qs * scale                       # fold softmax scale into q rows
         ks_t = jnp.transpose(ks, (0, 2, 1))   # (bh, 1, sk): lane dim = kv
         out = pl.pallas_call(
-            _flash_kernel_int8,
+            functools.partial(_flash_kernel_int8,
+                              fixed_max=fixed_max if fixed_max is not None
+                              else 20.0),
             in_specs=[
                 q_spec, k_spec, v_spec,
                 pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0),
@@ -232,7 +227,7 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=o_spec,
-            scratch_shapes=scratch,
+            scratch_shapes=[scratch[0], scratch[2]],
             **common,
         )(qi, ki, vp, qs, ks_t)
     elif fixed_max is not None:

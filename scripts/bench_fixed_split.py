@@ -54,7 +54,7 @@ def main():
                     fg_dino_feats=dino).images
 
     res = {}
-    for steps in (10, 30, 50):
+    for steps in (10, 50):
         run(steps)
         ts = []
         for _ in range(4):

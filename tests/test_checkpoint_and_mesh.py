@@ -112,7 +112,9 @@ def test_pipeline_sharded_matches_unsharded():
         model_parallel=True)
     with mesh:
         got = sharded_pipe(**call_kwargs).images
-    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # uint8 image transport: GSPMD float reordering of ~1e-7 can flip a
+    # pixel across a round() boundary, so allow one quantization step
+    np.testing.assert_allclose(got, ref, atol=1.01 / 255.0)
 
 
 def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):

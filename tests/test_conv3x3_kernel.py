@@ -92,3 +92,19 @@ def test_upsample_pallas_route_matches_xla():
         resnet.set_conv_backend("auto")
     rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
     assert rel < 1e-5, rel
+
+
+def test_conv3x3_wide_contraction_split():
+    """c > 1408 splits the contraction into two kernel calls (VMEM budget);
+    result must match the unsplit XLA conv, including the fused prologue."""
+    b, h, w, c, co = 1, 8, 16, 1920, 256
+    x = jnp.asarray(RNG.randn(b, h, w, c) * 0.1, jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.02, jnp.float32)
+    bias = jnp.asarray(RNG.randn(co), jnp.float32)
+    a = jnp.asarray(RNG.rand(b, c) + 0.5, jnp.float32)
+    s = jnp.asarray(RNG.randn(b, c) * 0.1, jnp.float32)
+    xa = jax.nn.silu(x * a[:, None, None, :] + s[:, None, None, :])
+    ref = layers.conv2d({"kernel": k, "bias": bias}, xa, padding=1)
+    got = conv3x3(x, k, bias, scale=a, shift=s, interpret=True)
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel
