@@ -26,61 +26,24 @@ import numpy as np
 
 
 def main():
+    from blobctrl_tpu.utils import benchkit
+    benchkit.enable_compile_cache()
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    import jax
-    import jax.numpy as jnp
-
-    from blobctrl_tpu.apps import flagship
-    from blobctrl_tpu.blob import math as blob_math
-    from blobctrl_tpu.models import blobnet as blobnet_lib
-    from blobctrl_tpu.models import unet as unet_lib
-    from blobctrl_tpu.models import vae as vae_lib
-    from blobctrl_tpu.pipeline import BlobNetPipeline
 
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     # the TPU host here shows +-10% run-to-run load variance; median-of-5
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
-    unet_cfg = flagship.sd15_unet_config()
-    blobnet_cfg = flagship.blobctrl_blobnet_config()
-    vae_cfg = flagship.sd15_vae_config()
-    dtype = jnp.bfloat16
-
-    pipe = BlobNetPipeline(
-        unet_cfg=unet_cfg,
-        unet_params=flagship.structural_params(unet_lib.init_unet, unet_cfg, dtype),
-        blobnet_cfg=blobnet_cfg,
-        blobnet_params=flagship.structural_params(blobnet_lib.init_blobnet,
-                                                  blobnet_cfg, dtype),
-        vae_cfg=vae_cfg,
-        vae_params=flagship.structural_params(vae_lib.init_vae, vae_cfg, dtype),
-        dtype=dtype)
-
-    rng = np.random.RandomState(0)
-    fg = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
-    bg = rng.randint(0, 255, (size, size, 3)).astype(np.uint8)
-    gs = np.asarray(blob_math.blob_score_from_ellipse(
-        ((size * 0.55, size * 0.5), (size * 0.25, size * 0.4), 30.0),
-        size, size, (size // 8, size // 8)))
-    pe = rng.randn(1, 77, 768).astype(np.float32) * 0.02
-    npe = rng.randn(1, 77, 768).astype(np.float32) * 0.02
-    dino_feats = rng.randn(1, 1024).astype(np.float32) * 0.1
-    lat0 = rng.randn(1, size // 8, size // 8, 4).astype(np.float32)
+    pipe = benchkit.make_flagship_pipe()
+    kw = benchkit.standard_edit_kwargs(size=size, steps=steps)
 
     def run():
-        out = pipe(fg_image=fg, bg_image=bg, gs_score=gs,
-                   height=size, width=size, num_inference_steps=steps,
-                   guidance_scale=7.5, latents=lat0,
-                   prompt_embeds=pe, negative_prompt_embeds=npe,
-                   blobnet_conditioning_scale=1.6,
-                   blobnet_control_guidance_end=0.9,
-                   scheduler="unipc", fg_dino_feats=dino_feats)
-        return out.images
+        return pipe(**kw).images
 
+    print("bench: pipe built, warming up main graph", file=sys.stderr, flush=True)
     run()  # warmup + compile
+    print("bench: main warm, timing", file=sys.stderr, flush=True)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -95,15 +58,11 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     batch_img_s = None
     if batch > 1:
+        kwb = {k: v for k, v in kw.items() if k != "latents"}
+
         def run_batch():
-            return pipe(fg_image=fg, bg_image=bg, gs_score=gs,
-                        height=size, width=size, num_inference_steps=steps,
-                        guidance_scale=7.5, prompt_embeds=pe,
-                        negative_prompt_embeds=npe, seed=0,
-                        num_images_per_prompt=batch,
-                        blobnet_conditioning_scale=1.6,
-                        blobnet_control_guidance_end=0.9,
-                        scheduler="unipc", fg_dino_feats=dino_feats).images
+            return pipe(seed=0, num_images_per_prompt=batch, **kwb).images
+        print("bench: warming batch graph", file=sys.stderr, flush=True)
         run_batch()
         t0 = time.perf_counter()
         imgs = run_batch()
@@ -117,14 +76,8 @@ def main():
     cache_interval = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
     if cache_interval > 1:
         def run_cached():
-            return pipe(fg_image=fg, bg_image=bg, gs_score=gs,
-                        height=size, width=size, num_inference_steps=steps,
-                        guidance_scale=7.5, latents=lat0,
-                        prompt_embeds=pe, negative_prompt_embeds=npe,
-                        blobnet_conditioning_scale=1.6,
-                        blobnet_control_guidance_end=0.9,
-                        scheduler="unipc", fg_dino_feats=dino_feats,
-                        encoder_cache_interval=cache_interval).images
+            return pipe(encoder_cache_interval=cache_interval, **kw).images
+        print("bench: warming cache graph", file=sys.stderr, flush=True)
         run_cached()
         t0 = time.perf_counter()
         run_cached()
@@ -150,15 +103,14 @@ def main():
     remove_sec = None
     if os.environ.get("BENCH_REMOVE", "1") == "1":
         from blobctrl_tpu.blob import math as blob_math_mod
-        gs_rm = np.asarray(blob_math_mod.removal_score((size // 8, size // 8)))
+        kwr = dict(kw, gs_score=np.asarray(
+            blob_math_mod.removal_score((size // 8, size // 8))),
+            blobnet_conditioning_scale=0.0)
+        del kwr["blobnet_control_guidance_end"]
 
         def run_remove():
-            return pipe(fg_image=fg, bg_image=bg, gs_score=gs_rm,
-                        height=size, width=size, num_inference_steps=steps,
-                        guidance_scale=7.5, latents=lat0, prompt_embeds=pe,
-                        negative_prompt_embeds=npe,
-                        blobnet_conditioning_scale=0.0,
-                        scheduler="unipc", fg_dino_feats=dino_feats).images
+            return pipe(**kwr).images
+        print("bench: warming remove graph", file=sys.stderr, flush=True)
         run_remove()
         t0 = time.perf_counter()
         run_remove()

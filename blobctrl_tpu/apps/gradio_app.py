@@ -192,10 +192,14 @@ def build_demo(session, examples_root: str = "assets/results/demo"):
             return overlay, gallery
 
         def on_undo_point():
+            if not session.editor.entries:
+                return None, None
             overlay = session.undo_tracking_point()
             return overlay, session.edited_preview_gallery()
 
         def on_reset_points():
+            if not session.editor.entries:
+                return None, None
             overlay = session.reset_tracking_points()
             return overlay, session.edited_preview_gallery()
 
@@ -221,7 +225,7 @@ def build_demo(session, examples_root: str = "assets/results/demo"):
             if not session.editor.entries:
                 gr.Warning("Please generate the blob first")
                 return None, None, None, gr.update(value=1.0)
-            _, warn = session.resize_start_blob(float(f))
+            _, _, warn = session.resize_start_blob(float(f))
             for w in warn:
                 gr.Warning(w)
             return (*_after_edit(), session.ori_preview_gallery(),
@@ -288,8 +292,6 @@ def build_demo(session, examples_root: str = "assets/results/demo"):
         def load_example(name_dir):
             name, d = name_dir
             state = session.load_state(d)
-            session.tracking_points = [list(p) for p in
-                                       state.get("tracking_points", [])]
 
             def g(sub):
                 p = os.path.join(d, sub)

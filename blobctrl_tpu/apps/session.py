@@ -69,6 +69,7 @@ class BlobCtrlSession:
         # click-to-move tracking points (blobctrl_app.py:1132-1172)
         self.tracking_points: List[List[int]] = []
         self._remove_inflated = False
+        self._pre_remove_start = None
 
     # ------------------------------------------------------------------
     # steps 1-2: image + segmentation
@@ -271,12 +272,20 @@ class BlobCtrlSession:
         """Remove mode inflates the start blob 1.2x so the white-out region
         surrounds the object (remove_blob_box_func, blobctrl_app.py:1376).
         Unlike the reference, toggling is idempotent: unchecking restores the
-        original size instead of compounding."""
+        EXACT pre-inflation start ellipse from a snapshot — an inverse resize
+        cannot restore it when the bounds/min-area constraints clamped the
+        inflation (or would clamp the shrink)."""
         if remove and not self._remove_inflated:
+            self._pre_remove_start = self.editor.entries[0]
             self.editor.resize_start(1.2, 0)
             self._remove_inflated = True
         elif not remove and self._remove_inflated:
-            self.editor.resize_start(1.0 / 1.2, 0)
+            if self._pre_remove_start is not None:
+                self.editor.entries[0] = self._pre_remove_start
+            else:
+                # no snapshot (state restored from disk with remove already
+                # applied): best-effort inverse
+                self.editor.resize_start(1.0 / 1.2, 0)
             self._remove_inflated = False
         return self.editor.initial
 
@@ -430,6 +439,12 @@ class BlobCtrlSession:
              tuple(e[1]), e[2])
             for e in state["ellipse_lists"]]
         self.tracking_points = [list(p) for p in state.get("tracking_points", [])]
+        # the saved ellipse_lists already include any remove-mode inflation,
+        # so mark it applied — a programmatic remove-checkbox update after
+        # example load (gradio fires .change on function updates too) must
+        # not re-inflate the restored geometry
+        self._remove_inflated = bool(state.get("remove", False))
+        self._pre_remove_start = None
         return state
 
     def run(self, prompt: str, num_samples: int = 1, seed: int = 1248464818,
@@ -439,7 +454,8 @@ class BlobCtrlSession:
             blobnet_control_guidance_end: float = 1.0,
             remove: bool = False, scheduler: str = "unipc",
             bg_image: Optional[np.ndarray] = None,
-            fg_image: Optional[np.ndarray] = None) -> SessionResult:
+            fg_image: Optional[np.ndarray] = None,
+            encoder_cache_interval: int = 0) -> SessionResult:
         assert self.editor.entries, "generate a blob first"
         size = self.size
         lh, lw = size // 8, size // 8
@@ -466,7 +482,8 @@ class BlobCtrlSession:
             blobnet_conditioning_scale=float(strength),
             blobnet_control_guidance_start=float(blobnet_control_guidance_start),
             blobnet_control_guidance_end=float(blobnet_control_guidance_end),
-            scheduler=scheduler)
+            scheduler=scheduler,
+            encoder_cache_interval=encoder_cache_interval)
 
         plots = [viz_lib.draw_ellipse((img * 255).astype(np.uint8), final_ellipse)
                  for img in out.images]

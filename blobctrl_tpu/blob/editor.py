@@ -203,15 +203,18 @@ class BlobEditor:
         return e, warn
 
     def resize_start(self, factor: float, resize_type: int = 0
-                     ) -> Tuple[Ellipse, List[str]]:
+                     ) -> Tuple[Ellipse, float, List[str]]:
         """Resize the START ellipse (entries[0]) in place — this changes the
         white-out source region of the edited background, not the target
-        (blobctrl_app.py:1280-1337: ellipse_lists[0] = (edited, params, 0))."""
+        (blobctrl_app.py:1280-1337: ellipse_lists[0] = (edited, params, 0)).
+        Returns (ellipse, applied_factor, warnings) — the applied factor can
+        be smaller than requested when the bounds/area constraints clamp it
+        (callers that need an exact inverse restore must use it)."""
         e0, params0, _ = self.entries[0]
-        e, _, warn = resize_ellipse(e0, factor, self.height, self.width,
-                                    resize_type)
+        e, applied, warn = resize_ellipse(e0, factor, self.height, self.width,
+                                          resize_type)
         self.entries[0] = (e, params0, EDIT_INIT)
-        return e, warn
+        return e, applied, warn
 
     def rotate(self, degrees: float) -> Ellipse:
         e = rotate_ellipse(self.current, degrees)

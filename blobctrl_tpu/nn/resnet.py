@@ -34,7 +34,7 @@ def get_conv_backend() -> str:
     return _CONV_BACKEND
 
 
-def _route_conv(x: Array, c_out: int):
+def _route_conv(x: Array):
     """-> (use_pallas, interpret) for a stride-1 same-size 3x3 conv on x.
 
     Measured on v5e (scripts/bench_conv_shapes.py + bench_conv_backends.py):
@@ -83,7 +83,7 @@ def init_resnet_block(key, c_in: int, c_out: int, temb_dim: Optional[int]):
 def resnet_block(params, x: Array, temb: Optional[Array] = None,
                  norm_groups: int = 32, eps: float = 1e-5) -> Array:
     def norm_act_conv(conv_params, norm_params, y):
-        use_pallas, interpret = _route_conv(y, conv_params["kernel"].shape[-1])
+        use_pallas, interpret = _route_conv(y)
         if use_pallas:
             # GroupNorm folded to per-(B,C) affine; normalize+SiLU fuse into
             # the Pallas conv prologue instead of an extra HBM round-trip
@@ -127,7 +127,7 @@ def upsample_2d(params, x: Array, out_hw: Optional[tuple] = None) -> Array:
         hi = (jnp.arange(oh) * h // oh).astype(jnp.int32)
         wi = (jnp.arange(ow) * w // ow).astype(jnp.int32)
         x = x[:, hi][:, :, wi]
-    use_pallas, interpret = _route_conv(x, params["conv"]["kernel"].shape[-1])
+    use_pallas, interpret = _route_conv(x)
     if use_pallas:
         return _conv3x3_maybe_fused(params["conv"], x, interpret=interpret)
     return layers.conv2d(params["conv"], x, padding=1)

@@ -235,13 +235,18 @@ class BlobNetPipeline:
             sched = unipc_lib.make(num_steps)
         elif scheduler_name == "ddim":
             sched = ddim_lib.make(num_steps)
-        elif scheduler_name.startswith("dpm"):
+        elif scheduler_name == "dpm" or scheduler_name.startswith("dpm_"):
             # "dpm" plus any of the suffix tokens: _sde, _karras, _heun —
-            # e.g. "dpm_sde_karras" = DPM++ 2M SDE Karras
-            toks = set(scheduler_name.split("_")[1:])
-            unknown = toks - {"sde", "karras", "heun"}
-            if unknown:
-                raise ValueError(f"unknown dpm variant tokens {sorted(unknown)}")
+            # e.g. "dpm_sde_karras" = DPM++ 2M SDE Karras. Anything else
+            # ("dpmsolver", "dpm_", "dpm_sd") raises rather than silently
+            # running the plain variant.
+            toks = scheduler_name.split("_")[1:]
+            unknown = set(toks) - {"sde", "karras", "heun"}
+            if unknown or (scheduler_name != "dpm" and not toks) or "" in toks:
+                raise ValueError(
+                    f"unknown dpm variant {scheduler_name!r}; tokens after "
+                    f"'dpm_' must be among sde/karras/heun")
+            toks = set(toks)
             sched = dpm_lib.make(
                 num_steps,
                 algorithm_type="sde-dpmsolver++" if "sde" in toks else "dpmsolver++",

@@ -86,7 +86,7 @@ def test_resize_start_blob_in_place():
     ed = editor.BlobEditor(height=512, width=512)
     ed.init_from_ellipse(((256.0, 256.0), (100.0, 150.0), 10.0))
     ed.move((50, 0))
-    e, warn = ed.resize_start(1.4, resize_type=0)
+    e, _, warn = ed.resize_start(1.4, resize_type=0)
     assert not warn
     np.testing.assert_allclose(ed.initial[1], (140.0, 210.0))
     assert ed.entries[0][2] == editor.EDIT_INIT
@@ -111,3 +111,38 @@ def test_resize_start_blob_changes_background():
     rm1 = (s.build_removal_background() == 255).all(-1).sum()
     assert white1 > white0 * 1.5
     assert rm1 > rm0 * 1.5
+
+
+def test_resize_start_returns_applied_factor():
+    """resize_start reports the factor actually applied (bounds clamping can
+    reduce it); set_remove_mode must restore with the exact inverse."""
+    from blobctrl_tpu.blob.editor import BlobEditor
+    ed = BlobEditor(height=512, width=512)
+    # blob hugging the canvas edge: a 1.2x inflation must clamp
+    ed.init_from_ellipse(((500.0, 256.0), (80.0, 120.0), 0.0))
+    before = ed.initial
+    _, applied, _ = ed.resize_start(1.2, 0)
+    assert applied <= 1.2
+    ed.resize_start(1.0 / applied, 0)
+    after = ed.initial
+    assert abs(after[1][0] - before[1][0]) < 1e-6
+    assert abs(after[1][1] - before[1][1]) < 1e-6
+
+
+def test_set_remove_mode_toggle_is_lossless_near_edge():
+    from blobctrl_tpu.apps.session import BlobCtrlSession
+
+    class _NoPipe:
+        pass
+
+    s = BlobCtrlSession(_NoPipe())
+    s.original_image = np.zeros((512, 512, 3), np.uint8)
+    # tiny blob below the resize min-area constraint at a canvas edge: the
+    # inflation clamps UP (to min area) and an inverse resize cannot shrink
+    # back below it — only the snapshot restore is exact
+    s.editor.init_from_ellipse(((500.0, 256.0), (12.0, 18.0), 0.0))
+    before = s.editor.initial
+    for _ in range(3):
+        s.set_remove_mode(True)
+        s.set_remove_mode(False)
+    assert s.editor.initial == before

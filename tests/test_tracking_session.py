@@ -119,3 +119,27 @@ def test_example_states_load_with_tracking_points():
         overlay = s.tracking_overlay()
         assert overlay.shape == (512, 512, 3), name
         assert len(s.edited_preview_gallery()) == 2, name
+
+
+def test_session_run_forwards_encoder_cache_interval():
+    """The demo's 'Fast mode' checkbox: session.run must accept and forward
+    encoder_cache_interval to the pipeline (regression: on_run used to raise
+    TypeError because session.run had no such parameter)."""
+    from blobctrl_tpu.apps.session import BlobCtrlSession
+
+    seen = {}
+
+    class _StubPipe:
+        def __call__(self, **kw):
+            seen.update(kw)
+
+            class _Out:
+                images = np.zeros((1, 64, 64, 3), np.float32)
+            return _Out()
+
+    s = BlobCtrlSession(_StubPipe(), size=64)
+    s.original_image = np.zeros((64, 64, 3), np.uint8)
+    s.fg_image = np.zeros((64, 64, 3), np.uint8)
+    s.editor.init_from_ellipse(((32.0, 32.0), (20.0, 28.0), 0.0))
+    s.run("a thing", num_inference_steps=2, encoder_cache_interval=3)
+    assert seen.get("encoder_cache_interval") == 3
