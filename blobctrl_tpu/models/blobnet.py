@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from blobctrl_tpu.nn import layers
+from blobctrl_tpu.nn import resnet as rn
 from blobctrl_tpu.nn import unet_blocks as ub
 from blobctrl_tpu.models import unet as unet_lib
 
@@ -123,7 +124,8 @@ def blobnet_apply(params, cfg: BlobNetConfig, sample: Array, timesteps: Array,
     emb = unet_lib.time_embed(params, ucfg, timesteps, sample.dtype)
     no_inject = ub.InjectionQueue(None)
 
-    x = layers.conv2d(params["conv_in"], sample, padding=1)
+    # 1029-ch conv_in: profiled at 26 TFLOPS on the XLA path (1.84 ms/step)
+    x = rn.conv3x3_routed(params["conv_in"], sample)
     down_states: List[Array] = [x]
     for i, block_p in enumerate(params["down_blocks"]):
         block_ctx = None  # self-attention only

@@ -88,7 +88,8 @@ def decode(params, cfg: VAEConfig, latents: Array) -> Array:
             x = rn.resnet_block(res_p, x, None, ng, eps=1e-6)
         if "upsample" in block:
             x = layers.nearest_upsample_2x(x)
-            x = layers.conv2d(block["upsample"]["conv"], x, padding=1)
+            # 512^2/256^2 upsample convs: ~30 TFLOPS on the XLA path
+            x = rn.conv3x3_routed(block["upsample"]["conv"], x)
     x = layers.group_norm(dec["conv_norm_out"], x, ng, eps=1e-6)
     x = layers.silu(x)
     return layers.conv2d(dec["conv_out"], x, padding=1)

@@ -65,6 +65,17 @@ def _conv3x3_maybe_fused(conv_params, x: Array, scale=None, shift=None,
                               scale=scale, shift=shift, interpret=interpret)
 
 
+def conv3x3_routed(conv_params, x: Array) -> Array:
+    """Stride-1 same-size 3x3 conv through the routed backend. For callers
+    outside resnet_block (BlobNet's 1029-ch conv_in, the VAE decoder's
+    upsample convs): profiled at 16-30% MFU on the XLA path vs 60-90% in the
+    Pallas kernel."""
+    use_pallas, interpret = _route_conv(x)
+    if use_pallas:
+        return _conv3x3_maybe_fused(conv_params, x, interpret=interpret)
+    return layers.conv2d(conv_params, x, padding=1)
+
+
 def init_resnet_block(key, c_in: int, c_out: int, temb_dim: Optional[int]):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     p = {

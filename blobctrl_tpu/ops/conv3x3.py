@@ -110,8 +110,10 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
     bh_est = _pick_row_block(h, w, c)
     est = (2 * (3 * bh_est * (w + 2) * c + 9 * c * bc_est) * it
            + bh_est * w * bc_est * 4 + 2 * bh_est * w * bc_est * it)
-    if est > 14 * 1024 * 1024 and c % 2 == 0 and c >= 256:
-        half = c // 2
+    if est > 14 * 1024 * 1024 and c >= 256:
+        # lane-aligned first chunk; works for odd widths too (1029-ch
+        # BlobNet conv_in)
+        half = min((c // 2 + 127) // 128 * 128, c - 128)
         y0 = conv3x3(x[..., :half], kernel[:, :, :half], bias,
                      interpret=interpret)
         y1 = conv3x3(x[..., half:], kernel[:, :, half:], None,

@@ -108,3 +108,15 @@ def test_conv3x3_wide_contraction_split():
     got = conv3x3(x, k, bias, scale=a, shift=s, interpret=True)
     rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
     assert rel < 1e-5, rel
+
+
+def test_conv3x3_odd_wide_contraction_1029ch():
+    """BlobNet's conv_in width: odd c=1029 takes the lane-aligned split."""
+    b, h, w, c, co = 1, 8, 16, 1029, 128
+    x = jnp.asarray(RNG.randn(b, h, w, c) * 0.1, jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.02, jnp.float32)
+    bias = jnp.asarray(RNG.randn(co), jnp.float32)
+    ref = layers.conv2d({"kernel": k, "bias": bias}, x, padding=1)
+    got = conv3x3(x, k, bias, interpret=True)
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel
