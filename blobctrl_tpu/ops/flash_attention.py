@@ -148,7 +148,7 @@ def _round_up(x: int, m: int) -> int:
                                              "interpret", "qk_int8",
                                              "fixed_max"))
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
-                    block_q: int = 1024, block_kv: int = 2048,
+                    block_q: int = 512, block_kv: int = 4096,
                     interpret: bool = False, qk_int8: bool = False,
                     fixed_max: float | None = 20.0) -> Array:
     """q: (B, H, Sq, D), k/v: (B, H, Sk, D) -> (B, H, Sq, D).
