@@ -8,12 +8,14 @@ prompt_embeds / blobnet_conditioning_scale / blobnet_control_guidance_start /
 blobnet_control_guidance_end / clip_skip / output_type.
 
 TPU-first structure:
-  * Encoders (CLIP / VAE / DINOv2) run once, each as its own jitted module.
-  * The ENTIRE denoising loop — CFG duplication, width-concat input
-    construction, BlobNet forward, 28 right-half residual injections, UNet
-    forward, CFG combine, UniPC/DDIM step — compiles to ONE XLA graph via
-    lax.fori_loop (the reference runs ~50 eager torch iterations,
-    pipeline_blobnet.py:1024-1123).
+  * ONE jitted graph per edit: batched VAE encode of both conditioning
+    images, score/appearance splat prep, the entire denoising loop — CFG
+    duplication, width-concat input construction, BlobNet forward, 28
+    right-half residual injections, UNet forward, CFG combine, scheduler
+    step (lax.fori_loop) — and the VAE decode (the reference runs ~50 eager
+    torch iterations with eager encode/decode around them,
+    pipeline_blobnet.py:1024-1123). CLIP / DINOv2 run separately (optional
+    modules, invoked only when raw prompts / images are given).
   * All per-step scalars (timesteps, blobnet_keep window, scheduler
     coefficients) are precomputed host-side into tables indexed by the loop
     counter.
