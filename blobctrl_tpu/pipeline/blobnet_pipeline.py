@@ -169,7 +169,10 @@ class BlobNetPipeline:
         if not do_cfg:
             return prompt_embeds
         if negative_prompt_embeds is None:
-            assert self.tokenizer is not None and self.clip_params is not None
+            assert self.tokenizer is not None and self.clip_params is not None, \
+                ("guidance_scale > 1 needs negative conditioning: pass "
+                 "negative_prompt_embeds (or attach a tokenizer + CLIP "
+                 "params for string prompts)")
             if negative_prompt is None:
                 negative_prompt = [""] * bsz
             elif isinstance(negative_prompt, str):

@@ -1,0 +1,116 @@
+"""HTTP serving surface: stateless /v1/edit over a tiny pipeline."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from blobctrl_tpu.apps import flagship
+from blobctrl_tpu.apps.server import serve
+from blobctrl_tpu.models import blobnet as blobnet_lib
+from blobctrl_tpu.models import unet as unet_lib
+from blobctrl_tpu.models import vae as vae_lib
+from blobctrl_tpu.pipeline import BlobNetPipeline
+
+
+@pytest.fixture(scope="module")
+def server():
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    pipe = BlobNetPipeline(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+    service, httpd = serve(pipe, host="127.0.0.1", port=0, size=64,
+                           warmup_steps=None)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+
+
+def _b64_png(arr):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, json.dumps(payload).encode(),
+                                 {"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health_and_info(server):
+    base, service = server
+    with urllib.request.urlopen(base + "/healthz") as r:
+        assert r.status == 200
+    with urllib.request.urlopen(base + "/v1/info") as r:
+        info = json.loads(r.read())
+    assert "unipc" in info["schedulers"] and "dpm_sde" in info["schedulers"]
+
+
+@pytest.mark.slow
+def test_edit_roundtrip(server):
+    base, service = server
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    payload = {
+        "fg_image": _b64_png(img), "bg_image": _b64_png(img),
+        "ellipse": [32, 32, 20, 28, 15], "num_inference_steps": 2,
+        "seed": 7, "size": 64,
+        "prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "negative_prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "fg_dino_feats": rng.randn(1, 16).tolist(),
+    }
+    code, resp = _post(base + "/v1/edit", payload)
+    assert code == 200, resp
+    from PIL import Image
+    out = np.asarray(Image.open(io.BytesIO(base64.b64decode(resp["images"][0]))))
+    assert out.shape == (64, 64, 3)
+    assert resp["seconds"] > 0
+    # same seed -> identical pixels (stateless reproducibility)
+    code2, resp2 = _post(base + "/v1/edit", payload)
+    assert code2 == 200 and resp2["images"][0] == resp["images"][0]
+    # remove mode
+    payload_rm = dict(payload, remove=True)
+    payload_rm.pop("ellipse")
+    code3, resp3 = _post(base + "/v1/edit", payload_rm)
+    assert code3 == 200
+    assert service.requests_served == 3
+
+
+def test_edit_validation_errors(server):
+    base, _ = server
+    code, resp = _post(base + "/v1/edit", {})
+    assert code == 400 and "fg_image" in resp["error"]
+    rng = np.random.RandomState(0)
+    img = _b64_png(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    code, resp = _post(base + "/v1/edit",
+                       {"fg_image": img, "bg_image": img, "size": 64,
+                        "ellipse": [1, 2, 3]})
+    assert code == 400 and "ellipse" in resp["error"]
+    code, resp = _post(base + "/v1/edit",
+                       {"fg_image": img, "bg_image": img, "size": 64,
+                        "ellipse": [32, 32, 20, 28, 0],
+                        "prompt_embeds": np.zeros((1, 7, 16)).tolist(),
+                        "negative_prompt_embeds": np.zeros((1, 7, 16)).tolist(),
+                        "fg_dino_feats": np.zeros((1, 16)).tolist(),
+                        "scheduler": "dpmsolver"})
+    assert code == 400 and "dpm" in resp["error"]
+    code, _ = _post(base + "/v1/bogus", {})
+    assert code == 404
