@@ -32,6 +32,14 @@ _FLASH_MIN_SEQ = 1024
 # Opt-in int8 QK^T inside the flash kernel (per-row exact rescale; ~1%
 # relative output drift, 2x MXU rate on the padded QK^T stage).
 _ATTENTION_INT8 = False
+# Fold the head-merge transpose into the output projection (einsum over
+# (head, d)). Toggleable for A/B measurement; same math either way.
+_OUT_PROJ_FOLD = True
+
+
+def set_out_proj_fold(flag: bool):
+    global _OUT_PROJ_FOLD
+    _OUT_PROJ_FOLD = bool(flag)
 
 
 def set_attention_backend(backend: str, qk_int8: Optional[bool] = None):
@@ -74,8 +82,11 @@ def _use_flash(q_seq: int, kv_seq: int, head_dim: int, has_mask: bool) -> bool:
 
 
 def multi_head_attention(q: Array, k: Array, v: Array, heads: int,
-                         mask: Optional[Array] = None) -> Array:
-    """q: (B, Sq, C), k/v: (B, Sk, C) -> (B, Sq, C)."""
+                         mask: Optional[Array] = None,
+                         return_heads: bool = False) -> Array:
+    """q: (B, Sq, C), k/v: (B, Sk, C) -> (B, Sq, C), or (B, H, Sq, D) when
+    return_heads (lets the caller fold the head-merge transpose into the
+    output projection)."""
     b, sq, c = q.shape
     sk = k.shape[1]
     d = c // heads
@@ -91,6 +102,8 @@ def multi_head_attention(q: Array, k: Array, v: Array, heads: int,
                                               qk_int8=_ATTENTION_INT8)
     else:
         out = sdpa_xla(qh, kh, vh, scale, mask)
+    if return_heads:
+        return out
     return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
 
 
@@ -125,8 +138,22 @@ def attention(params, x: Array, heads: int, context: Optional[Array] = None,
         q = layers.linear(params["to_q"], x)
         k = layers.linear(params["to_k"], context)
         v = layers.linear(params["to_v"], context)
-    out = multi_head_attention(q, k, v, heads, mask)
-    return layers.linear(params["to_out"], out)
+    out_h = multi_head_attention(q, k, v, heads, mask, return_heads=True)
+    if not _OUT_PROJ_FOLD:
+        b, h, sq, d = out_h.shape
+        out = out_h.transpose(0, 2, 1, 3).reshape(b, sq, h * d)
+        return layers.linear(params["to_out"], out)
+    # output projection folded over (head, d): XLA's alternative — fusing the
+    # head-merge transpose into the matmul — ran at ~10 TFLOPS on v5e (the
+    # strided layout starves the MXU); the (h,d)-contraction einsum is the
+    # same math (fp32 accumulation either way) without the strided operand.
+    b, h, sq, d = out_h.shape
+    w_o = params["to_out"]["kernel"].astype(out_h.dtype).reshape(h, d, h * d)
+    y = jnp.einsum("bhsd,hdc->bsc", out_h, w_o,
+                   preferred_element_type=jnp.float32).astype(out_h.dtype)
+    if "bias" in params["to_out"]:
+        y = y + params["to_out"]["bias"].astype(y.dtype)
+    return y
 
 
 # ---------------------------------------------------------------------------
