@@ -400,7 +400,8 @@ class BlobCtrlSession:
             "blobnet_control_strength": float(params.get("blobnet_control_strength", 1.2)),
             "blobnet_control_guidance_start": float(params.get("blobnet_control_guidance_start", 0.0)),
             "blobnet_control_guidance_end": float(params.get("blobnet_control_guidance_end", 1.0)),
-            "tracking_points": params.get("tracking_points", []),
+            "tracking_points": params.get("tracking_points",
+                                          [list(p) for p in self.tracking_points]),
         }
         with open(os.path.join(out_dir, "state", "state.json"), "w") as f:
             json.dump(state, f)
@@ -442,8 +443,10 @@ class BlobCtrlSession:
         # the saved ellipse_lists already include any remove-mode inflation,
         # so mark it applied — a programmatic remove-checkbox update after
         # example load (gradio fires .change on function updates too) must
-        # not re-inflate the restored geometry
-        self._remove_inflated = bool(state.get("remove", False))
+        # not re-inflate the restored geometry. Key name matches the
+        # reference state.json schema ("remove_blob_box").
+        self._remove_inflated = bool(state.get("remove_blob_box",
+                                               state.get("remove", False)))
         self._pre_remove_start = None
         return state
 

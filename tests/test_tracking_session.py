@@ -143,3 +143,27 @@ def test_session_run_forwards_encoder_cache_interval():
     s.editor.init_from_ellipse(((32.0, 32.0), (20.0, 28.0), 0.0))
     s.run("a thing", num_inference_steps=2, encoder_cache_interval=3)
     assert seen.get("encoder_cache_interval") == 3
+
+
+def test_save_load_state_roundtrip_remove_flag(tmp_path):
+    """save_state writes the reference schema key (remove_blob_box) and
+    load_state reads it back, marking the inflation as already applied."""
+    from blobctrl_tpu.apps.session import BlobCtrlSession
+
+    class _NoPipe:
+        pass
+
+    s = BlobCtrlSession(_NoPipe(), size=64)
+    s.original_image = np.zeros((64, 64, 3), np.uint8)
+    s.fg_image = np.zeros((64, 64, 3), np.uint8)
+    s.editor.init_from_ellipse(((32.0, 32.0), (20.0, 28.0), 0.0))
+    s.tracking_points = [[32, 32], [40, 36]]
+    s.set_remove_mode(True)
+    out = s.save_state(str(tmp_path / "st"), prompt="p", remove=True)
+
+    s2 = BlobCtrlSession(_NoPipe(), size=64)
+    state = s2.load_state(out)
+    assert state["remove_blob_box"] is True
+    assert s2._remove_inflated is True          # no re-inflation on replay
+    assert state["tracking_points"] == [[32, 32], [40, 36]]
+    assert [tuple(e[0][0]) for e in [state["ellipse_lists"][0]]]
