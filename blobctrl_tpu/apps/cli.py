@@ -20,6 +20,8 @@ import time
 
 import numpy as np
 
+from blobctrl_tpu.pipeline.blobnet_pipeline import SCHEDULER_NAMES
+
 
 def parse_ellipse(spec: str):
     """'xc,yc,d1,d2,angle' -> cv2-style ellipse (a real parser; the reference
@@ -57,7 +59,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1248464818)
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--num_inference_steps", type=int, default=50)
-    p.add_argument("--scheduler", choices=("unipc", "ddim", "dpm", "dpm_karras", "dpm_sde", "dpm_sde_karras", "dpm_heun"),
+    p.add_argument("--scheduler", choices=SCHEDULER_NAMES,
                    default="unipc")
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
     p.add_argument("--output_dir", default="outputs")

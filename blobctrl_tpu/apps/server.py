@@ -87,8 +87,10 @@ class EditService:
             size, size, (size // 8, size // 8)))
         kw = dict(fg_image=blank, bg_image=blank, gs_score=gs, height=size,
                   width=size, num_inference_steps=steps, guidance_scale=7.5,
-                  seed=0, blobnet_conditioning_scale=1.6)
-        if getattr(self.pipeline, "clip_params", None) is None:
+                  seed=0, blobnet_conditioning_scale=1.2)
+        if getattr(self.pipeline, "clip_params", None) is not None:
+            kw["prompt"] = ""          # tokenizes fine; exercises CLIP too
+        else:
             rng = np.random.RandomState(0)
             ctx = self.pipeline.unet_cfg.cross_attention_dim
             kw["prompt_embeds"] = rng.randn(1, 77, ctx).astype(np.float32)
@@ -114,14 +116,14 @@ class EditService:
             strength = 0.0
         elif "gs_score" in req:
             gs = np.asarray(req["gs_score"], np.float32)
-            strength = float(req.get("blobnet_conditioning_scale", 1.6))
+            strength = float(req.get("blobnet_conditioning_scale", 1.2))
         elif "ellipse" in req:
             e = [float(v) for v in req["ellipse"]]
             if len(e) != 5:
                 raise ValueError("ellipse must be [cx, cy, d1, d2, angle]")
             gs = np.asarray(blob_math.blob_score_from_ellipse(
                 ((e[0], e[1]), (e[2], e[3]), e[4]), size, size, (lh, lw)))
-            strength = float(req.get("blobnet_conditioning_scale", 1.6))
+            strength = float(req.get("blobnet_conditioning_scale", 1.2))
         else:
             raise ValueError("one of ellipse / gs_score / remove is required")
 
@@ -154,8 +156,8 @@ class EditService:
         t0 = time.perf_counter()
         with self.lock:
             out = self.pipeline(**kw)
+            self.requests_served += 1
         sec = time.perf_counter() - t0
-        self.requests_served += 1
         resp = {"images": [_encode_image(im) for im in out.images],
                 "seconds": round(sec, 4)}
         if out.nsfw_content_detected is not None:
@@ -165,11 +167,11 @@ class EditService:
 
     def info(self) -> dict:
         import jax
+        from blobctrl_tpu.pipeline.blobnet_pipeline import SCHEDULER_NAMES
         return {
             "model": "blobctrl-tpu (SD-1.5 + BlobNet)",
             "size": self.size,
-            "schedulers": ["unipc", "ddim", "dpm", "dpm_karras", "dpm_sde",
-                           "dpm_sde_karras", "dpm_heun"],
+            "schedulers": list(SCHEDULER_NAMES),
             "device": str(jax.devices()[0]),
             "warm": self.warm,
             "requests_served": self.requests_served,
@@ -205,7 +207,10 @@ def make_handler(service: EditService):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, service.edit(req))
-            except (ValueError, KeyError, AssertionError) as e:
+            except (ValueError, KeyError, AssertionError, TypeError,
+                    OSError) as e:
+                # wrong/missing fields, undecodable images (PIL raises an
+                # OSError subclass), wrong JSON types: all client mistakes
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — survive bad requests
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})

@@ -43,6 +43,11 @@ from blobctrl_tpu.schedulers import unipc as unipc_lib
 
 Array = jax.Array
 
+# Public scheduler-name surface (CLI choices, server /v1/info). "dpm" also
+# accepts any underscore combination of sde/karras/heun tokens.
+SCHEDULER_NAMES = ("unipc", "ddim", "dpm", "dpm_karras", "dpm_sde",
+                   "dpm_sde_karras", "dpm_heun")
+
 
 @dataclasses.dataclass
 class PipelineOutput:

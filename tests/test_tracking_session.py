@@ -166,4 +166,12 @@ def test_save_load_state_roundtrip_remove_flag(tmp_path):
     assert state["remove_blob_box"] is True
     assert s2._remove_inflated is True          # no re-inflation on replay
     assert state["tracking_points"] == [[32, 32], [40, 36]]
-    assert [tuple(e[0][0]) for e in [state["ellipse_lists"][0]]]
+    e0 = state["ellipse_lists"][0][0]
+    cx, cy = e0[0]
+    # saved start ellipse reflects the remove-mode inflation (>= 1.2x; the
+    # min-area constraint can raise the factor further on a tiny blob):
+    # center preserved, both axes strictly inflated, aspect ratio kept
+    assert (cx, cy) == (32.0, 32.0)
+    assert e0[1][0] >= 20.0 * 1.2 - 1e-6
+    assert e0[1][1] >= 28.0 * 1.2 - 1e-6
+    assert e0[1][1] / e0[1][0] == pytest.approx(28.0 / 20.0)
