@@ -32,16 +32,29 @@ Design notes
     lock (queueing happens in the threaded HTTP layer). Horizontal scale =
     more replicas, each owning a chip — the stateless API makes that a pure
     load-balancer concern.
-  * Warmup pre-compiles the standard 50-step graph at startup so the first
-    request does not pay a multi-minute XLA compile.
+  * Warmup pre-compiles the standard 50-step graph AND the remove-mode
+    graph (a different XLA program: use_blobnet=False) at startup so first
+    requests do not pay a multi-minute XLA compile under the serving lock.
+  * Request limits: bodies above ``max_body_bytes`` are rejected with 413,
+    and once warmup has run, ``num_inference_steps``/``size`` are pinned to
+    the warm-compiled values (400 on cold shapes — a cold shape means a
+    multi-minute XLA compile while holding the TPU lock, which would stall
+    all traffic while /healthz still reports 200). ``num_samples`` is
+    bounded by ``max_samples``. Pass ``strict_shapes=False`` to accept cold
+    shapes (dev / offline use).
   * Input validation mirrors the pipeline's own errors; client mistakes are
     400s with the message, not 500s.
+  * Deployment: http.server performs only basic security checks. Run this
+    behind a reverse proxy / load balancer that terminates TLS, enforces
+    auth and rate limits, and bound to a private interface (--host) unless
+    the network is trusted.
 """
 
 from __future__ import annotations
 
 import argparse
 import base64
+import binascii
 import io
 import json
 import threading
@@ -52,10 +65,16 @@ from typing import Optional
 import numpy as np
 
 
-def _decode_image(b64: str) -> np.ndarray:
+def _decode_image(b64: str, field: str = "image") -> np.ndarray:
     from PIL import Image
-    raw = base64.b64decode(b64)
-    return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+    try:
+        raw = base64.b64decode(b64)
+        return np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"), np.uint8)
+    except (binascii.Error, OSError) as e:
+        # PIL raises UnidentifiedImageError (an OSError subclass) on garbage
+        # bytes; keep genuine server-side OSErrors out of this 400 path by
+        # scoping the except to the decode only.
+        raise ValueError(f"{field} is not decodable base64 image data: {e}")
 
 
 def _encode_image(arr: np.ndarray) -> str:
@@ -70,15 +89,26 @@ class EditService:
     """Pipeline wrapper with the serving policy: one edit at a time on the
     chip, request validation, optional startup warmup."""
 
-    def __init__(self, pipeline, size: int = 512):
+    MAX_BODY_BYTES = 16 * 1024 * 1024   # base64 images + embeds fit in ~4 MB
+    MAX_SAMPLES = 4
+    MAX_STEPS = 200
+
+    def __init__(self, pipeline, size: int = 512, strict_shapes: bool = True,
+                 max_body_bytes: Optional[int] = None):
         self.pipeline = pipeline
         self.size = size
         self.lock = threading.Lock()
         self.warm = False
         self.requests_served = 0
+        self.strict_shapes = strict_shapes
+        self.max_body_bytes = max_body_bytes or self.MAX_BODY_BYTES
+        # populated by warmup(); None = no warm-shape pinning yet
+        self.warm_steps: Optional[int] = None
 
     def warmup(self, steps: int = 50):
-        """Compile the standard edit graph before accepting traffic."""
+        """Compile the standard edit graph AND the remove-mode graph (a
+        different XLA program: the BlobNet branch is statically absent)
+        before accepting traffic, then pin the warm shapes."""
         from blobctrl_tpu.blob import math as blob_math
         size = self.size
         blank = np.full((size, size, 3), 255, np.uint8)
@@ -100,15 +130,65 @@ class EditService:
             kw["fg_dino_feats"] = np.zeros((1, dc), np.float32)
         with self.lock:
             self.pipeline(**kw)
+            # remove mode: strength 0 + bg-only score (see edit())
+            kw_rm = dict(kw, blobnet_conditioning_scale=0.0,
+                         gs_score=np.asarray(
+                             blob_math.removal_score((size // 8, size // 8))))
+            self.pipeline(**kw_rm)
+        self.warm_steps = steps
         self.warm = True
+
+    def _validate_limits(self, req: dict, size: int, steps: int,
+                         num_samples: int):
+        """400 on requests that would compile a cold XLA graph under the
+        serving lock (minutes of stalled traffic) or exceed resource caps."""
+        if not 1 <= num_samples <= self.MAX_SAMPLES:
+            raise ValueError(
+                f"num_samples must be in [1, {self.MAX_SAMPLES}]")
+        if not 1 <= steps <= self.MAX_STEPS:
+            raise ValueError(
+                f"num_inference_steps must be in [1, {self.MAX_STEPS}]")
+        if self.strict_shapes and self.warm_steps is not None:
+            if size != self.size:
+                raise ValueError(
+                    f"size={size} is not warm-compiled (serving size "
+                    f"{self.size}); cold shapes are rejected to avoid a "
+                    "multi-minute compile under the TPU lock")
+            if steps != self.warm_steps:
+                raise ValueError(
+                    f"num_inference_steps={steps} is not warm-compiled "
+                    f"(serving steps {self.warm_steps})")
+
+    def _validate_cold_graph(self, req: dict):
+        """Scheduler / batch / encoder-cache choices each select a different
+        XLA program than the two warmed at startup; reject them under
+        strict_shapes rather than compiling under the lock."""
+        if not (self.strict_shapes and self.warm_steps is not None):
+            return
+        cold = []
+        if str(req.get("scheduler", "unipc")) != "unipc":
+            cold.append("scheduler")
+        if int(req.get("num_samples", 1)) != 1:
+            cold.append("num_samples")
+        if int(req.get("encoder_cache_interval", 0)) != 0:
+            cold.append("encoder_cache_interval")
+        if cold:
+            raise ValueError(
+                f"non-default {'/'.join(cold)} selects a graph that was not "
+                "warm-compiled; start the server with strict_shapes=False "
+                "or extend warmup to cover it")
 
     def edit(self, req: dict) -> dict:
         from blobctrl_tpu.blob import math as blob_math
         size = int(req.get("size", self.size))
+        self._validate_limits(req, size,
+                              int(req.get("num_inference_steps", 50)),
+                              int(req.get("num_samples", 1)))
+        self._validate_cold_graph(req)
         if "fg_image" not in req or "bg_image" not in req:
             raise ValueError("fg_image and bg_image (base64) are required")
-        fg = _decode_image(req["fg_image"])
-        bg = _decode_image(req["bg_image"])
+        fg = _decode_image(req["fg_image"], "fg_image")
+        bg = _decode_image(req["bg_image"], "bg_image")
 
         lh, lw = size // 8, size // 8
         if req.get("remove"):
@@ -174,6 +254,10 @@ class EditService:
             "schedulers": list(SCHEDULER_NAMES),
             "device": str(jax.devices()[0]),
             "warm": self.warm,
+            "warm_steps": self.warm_steps,
+            "strict_shapes": self.strict_shapes,
+            "max_body_bytes": self.max_body_bytes,
+            "max_samples": self.MAX_SAMPLES,
             "requests_served": self.requests_served,
         }
 
@@ -205,12 +289,17 @@ def make_handler(service: EditService):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > service.max_body_bytes:
+                    self._send(413, {"error": (
+                        f"body of {n} bytes exceeds the "
+                        f"{service.max_body_bytes}-byte limit")})
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, service.edit(req))
-            except (ValueError, KeyError, AssertionError, TypeError,
-                    OSError) as e:
-                # wrong/missing fields, undecodable images (PIL raises an
-                # OSError subclass), wrong JSON types: all client mistakes
+            except (ValueError, KeyError, AssertionError, TypeError) as e:
+                # wrong/missing fields, undecodable images (_decode_image
+                # converts those to ValueError), wrong JSON types: client
+                # mistakes. Server-side OSErrors fall through to 500.
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — survive bad requests
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
@@ -223,8 +312,11 @@ def make_handler(service: EditService):
 
 
 def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
-          size: int = 512, warmup_steps: Optional[int] = 50):
-    service = EditService(pipeline, size=size)
+          size: int = 512, warmup_steps: Optional[int] = 50,
+          strict_shapes: bool = True,
+          max_body_bytes: Optional[int] = None):
+    service = EditService(pipeline, size=size, strict_shapes=strict_shapes,
+                          max_body_bytes=max_body_bytes)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     if warmup_steps:
         threading.Thread(target=service.warmup, args=(warmup_steps,),
@@ -240,12 +332,17 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--allow_cold_shapes", action="store_true",
+                   help="accept requests whose shape/scheduler was not "
+                        "warm-compiled (each pays an XLA compile under the "
+                        "TPU lock)")
     args = p.parse_args()
 
     from blobctrl_tpu.params import io as io_lib
     pipeline = io_lib.load_pipeline(args.models_root)
     service, httpd = serve(pipeline, args.host, args.port,
-                           warmup_steps=None if args.no_warmup else 50)
+                           warmup_steps=None if args.no_warmup else 50,
+                           strict_shapes=not args.allow_cold_shapes)
     print(f"serving on {args.host}:{args.port} (warming up in background)")
     httpd.serve_forever()
 

@@ -133,6 +133,11 @@ class BlobCtrlSession:
     def resize_start_blob(self, factor: float, resize_type: int = 0):
         """Resize the start ellipse — widens/shrinks the removal/white-out
         region of the edited background (blobctrl_app.py:1280-1337)."""
+        if self._remove_inflated:
+            # the pre-remove snapshot no longer reflects the user's intent:
+            # restoring it on uncheck would silently discard this resize.
+            # Drop it so set_remove_mode(False) inverts only the inflation.
+            self._pre_remove_start = None
         return self.editor.resize_start(factor, resize_type)
 
     def undo(self):
@@ -277,15 +282,19 @@ class BlobCtrlSession:
         inflation (or would clamp the shrink)."""
         if remove and not self._remove_inflated:
             self._pre_remove_start = self.editor.entries[0]
-            self.editor.resize_start(1.2, 0)
+            _, applied, _ = self.editor.resize_start(1.2, 0)
+            self._remove_applied_factor = applied
             self._remove_inflated = True
         elif not remove and self._remove_inflated:
             if self._pre_remove_start is not None:
                 self.editor.entries[0] = self._pre_remove_start
             else:
                 # no snapshot (state restored from disk with remove already
-                # applied): best-effort inverse
-                self.editor.resize_start(1.0 / 1.2, 0)
+                # applied, or the user resized the start blob while remove
+                # was on): invert only the applied inflation, keeping any
+                # newer start-blob edits
+                inv = 1.0 / getattr(self, "_remove_applied_factor", 1.2)
+                self.editor.resize_start(inv, 0)
             self._remove_inflated = False
         return self.editor.initial
 

@@ -155,6 +155,9 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
 
     fixed_max: static softmax shift (see _flash_kernel_fixed_max) — exact for
     logits within +-60 of it; None falls back to the running-max kernel.
+    There is no running-max int8 kernel, so qk_int8=True requires a numeric
+    fixed_max (raises ValueError with None) — int8 is itself a lossy opt-in,
+    so an exact-softmax guarantee cannot be honored on that path anyway.
 
     Sq/Sk are padded to block multiples internally (padded kv columns are
     masked out by giving them -inf scores via zero keys? no — zero keys give
@@ -211,14 +214,16 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     )
 
     if qk_int8:
+        if fixed_max is None:
+            raise ValueError(
+                "qk_int8=True has no running-max kernel; pass a numeric "
+                "fixed_max (the int8 path always uses the fixed-max softmax)")
         qi, qs = _quantize_rows(qp)          # (bh, sqp, dp) i8, (bh, sqp, 1)
         ki, ks = _quantize_rows(kp)
         qs = qs * scale                       # fold softmax scale into q rows
         ks_t = jnp.transpose(ks, (0, 2, 1))   # (bh, 1, sk): lane dim = kv
         out = pl.pallas_call(
-            functools.partial(_flash_kernel_int8,
-                              fixed_max=fixed_max if fixed_max is not None
-                              else 20.0),
+            functools.partial(_flash_kernel_int8, fixed_max=fixed_max),
             in_specs=[
                 q_spec, k_spec, v_spec,
                 pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0),

@@ -114,3 +114,58 @@ def test_edit_validation_errors(server):
     assert code == 400 and "dpm" in resp["error"]
     code, _ = _post(base + "/v1/bogus", {})
     assert code == 404
+
+
+def test_request_limits(server):
+    base, service = server
+    rng = np.random.RandomState(0)
+    img = _b64_png(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    # oversized body -> 413 before any JSON parsing
+    req = urllib.request.Request(
+        base + "/v1/edit", b"x" * 1024,
+        {"Content-Type": "application/json",
+         "Content-Length": str(service.max_body_bytes + 1)})
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 413")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+    # garbage image bytes -> 400 ValueError, not a masked OSError 500
+    code, resp = _post(base + "/v1/edit",
+                       {"fg_image": base64.b64encode(b"not an image").decode(),
+                        "bg_image": img, "size": 64, "remove": True})
+    assert code == 400 and "fg_image" in resp["error"]
+    # resource caps independent of warm pinning
+    code, resp = _post(base + "/v1/edit",
+                       {"fg_image": img, "bg_image": img, "size": 64,
+                        "remove": True, "num_samples": 99})
+    assert code == 400 and "num_samples" in resp["error"]
+    code, resp = _post(base + "/v1/edit",
+                       {"fg_image": img, "bg_image": img, "size": 64,
+                        "remove": True, "num_inference_steps": 0})
+    assert code == 400 and "num_inference_steps" in resp["error"]
+
+
+def test_cold_shape_rejection(server):
+    """With warm pinning active, cold graphs are 400s (not silent multi-
+    minute compiles under the TPU lock)."""
+    base, service = server
+    rng = np.random.RandomState(0)
+    img = _b64_png(rng.randint(0, 255, (64, 64, 3)).astype(np.uint8))
+    service.warm_steps = 2          # simulate a completed warmup at 2 steps
+    try:
+        code, resp = _post(base + "/v1/edit",
+                           {"fg_image": img, "bg_image": img, "size": 64,
+                            "remove": True, "num_inference_steps": 7})
+        assert code == 400 and "warm-compiled" in resp["error"]
+        code, resp = _post(base + "/v1/edit",
+                           {"fg_image": img, "bg_image": img, "size": 32,
+                            "remove": True, "num_inference_steps": 2})
+        assert code == 400 and "size" in resp["error"]
+        code, resp = _post(base + "/v1/edit",
+                           {"fg_image": img, "bg_image": img, "size": 64,
+                            "remove": True, "num_inference_steps": 2,
+                            "scheduler": "ddim"})
+        assert code == 400 and "scheduler" in resp["error"]
+    finally:
+        service.warm_steps = None   # restore dev-mode for other tests

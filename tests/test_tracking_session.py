@@ -95,6 +95,23 @@ def test_remove_mode_toggle_idempotent(sess):
     np.testing.assert_allclose(sess.editor.initial[1], d0, rtol=1e-6)
 
 
+def test_remove_mode_keeps_resize_during(sess):
+    """A start-blob resize performed WHILE remove mode is on must survive
+    unchecking: only the 1.2x inflation is inverted, not the user's edit."""
+    d0 = sess.editor.initial[1]
+    sess.set_remove_mode(True)
+    sess.resize_start_blob(0.9, 0)          # user shrinks during remove mode
+    # (0.9 keeps every intermediate size above MIN_BLOB_AREA, so no factor
+    # clamping muddies the arithmetic below)
+    d_mid = sess.editor.initial[1]
+    sess.set_remove_mode(False)
+    d_after = sess.editor.initial[1]
+    # inflation inverted on top of the user's resize, NOT a restore of d0
+    np.testing.assert_allclose(d_after, (d_mid[0] / 1.2, d_mid[1] / 1.2),
+                               rtol=1e-6)
+    assert not np.allclose(d_after, d0, rtol=1e-3)
+
+
 def test_parse_init_ellipse():
     assert parse_init_ellipse("[0.5, 0.5, 0.2, 0.2, 180]") == [0.5, 0.5, 0.2, 0.2, 180.0]
     assert parse_init_ellipse("(0.1,0.2,0.3,0.4,5)") == [0.1, 0.2, 0.3, 0.4, 5.0]
