@@ -377,16 +377,15 @@ def main():
 
     pipe = params_io.load_pipeline(args.models_root)
     sam_pred = None
-    try:
-        import torch
-        sam_path = f"{args.models_root}/sam/sam_vit_h_4b8939.pth"
-        if os.path.exists(sam_path):
-            from blobctrl_tpu.models import sam as sam_lib
-            from blobctrl_tpu.params import convert_sam
-            sd = torch.load(sam_path, map_location="cpu", weights_only=True)
-            sam_pred = sam_lib.SamPredictor(convert_sam.convert_sam(sd))
-    except Exception as e:  # pragma: no cover
-        print(f"SAM unavailable: {e}")
+    sam_path = f"{args.models_root}/sam/sam_vit_h_4b8939.pth"
+    if os.path.exists(sam_path):
+        # a present-but-broken checkpoint should fail loudly, not degrade
+        # the demo to no-SAM silently
+        from blobctrl_tpu.models import sam as sam_lib
+        sam_pred = sam_lib.SamPredictor(params_io.load_sam(sam_path))
+    else:
+        print(f"SAM checkpoint not found at {sam_path}; "
+              "mask-from-click disabled")
 
     session = BlobCtrlSession(pipe, sam_predictor=sam_pred)
     build_demo(session, args.examples_root).launch(server_port=args.port)

@@ -89,6 +89,13 @@ def merge_lora(unet_params, lora: Dict[str, Any], scale: float = 1.0,
         path = [int(p) if p.isdigit() else p for p in key.split("/")]
         leaf = _get(new_params, path)
         delta = (ab["A"] @ ab["B"]) * eff
+        if leaf["kernel"].ndim == 4:
+            # 1x1 conv target stored HWIO (1, 1, in, out): lift the linear
+            # delta onto the kernel's leading singleton spatial dims
+            assert leaf["kernel"].shape[:2] == (1, 1), (
+                f"LoRA delta for {key} is a linear map but the target "
+                f"kernel is {leaf['kernel'].shape}")
+            delta = delta[None, None]
         leaf["kernel"] = leaf["kernel"] + delta.astype(leaf["kernel"].dtype)
     return new_params
 
@@ -149,7 +156,21 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
         path_key = "/".join(norm)
         arr = np.asarray(tensor.detach().cpu().float().numpy()
                          if hasattr(tensor, "detach") else tensor)
-        if arr.ndim != 2:
+        if arr.ndim == 4:
+            # PEFT stores Conv2d adapters 4-D: lora_A (r, in, kh, kw),
+            # lora_B (out, r, 1, 1). 1x1 kernels are linear maps — squeeze
+            # to 2-D; merge_lora broadcasts the (in, out) delta onto our
+            # HWIO (1, 1, in, out) conv leaves. Diffusers SD-1.5 adapters
+            # routinely carry these (proj_in/proj_out when
+            # use_linear_projection=False), so this must not hard-fail.
+            if arr.shape[2:] == (1, 1):
+                arr = arr[:, :, 0, 0]
+            else:
+                raise NotImplementedError(
+                    f"LoRA on a {arr.shape[2]}x{arr.shape[3]} conv not "
+                    f"supported: {key} (shape {arr.shape}) — only 1x1 "
+                    "(pointwise) conv adapters reduce to linear maps")
+        elif arr.ndim != 2:
             raise NotImplementedError(
                 f"LoRA on non-linear module not supported: {key} "
                 f"(shape {arr.shape})")

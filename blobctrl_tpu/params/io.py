@@ -95,6 +95,19 @@ def load_dinov2(dinov2_dir: str):
     return convert.convert_dinov2(_load_model_dir(dinov2_dir))
 
 
+def load_sam(path: str):
+    """Load a SAM checkpoint (torch pickle, original segment_anything OR
+    transformers key format — sam/sam_vit_h_4b8939.pth in the reference
+    download layout, /root/reference/scripts/download_models.py:15-30)."""
+    import torch
+    from blobctrl_tpu.params import convert_sam
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd and all(
+            hasattr(v, "shape") for v in sd["state_dict"].values()):
+        sd = sd["state_dict"]
+    return convert_sam.convert_sam(sd)
+
+
 def load_lora_dir(lora_dir: str, alpha: Optional[float] = None):
     from blobctrl_tpu.models import lora as lora_lib
     sd = _load_model_dir(lora_dir)
