@@ -28,9 +28,7 @@ import os
 
 import numpy as np
 
-EXAMPLE_ORDER = ["move_hat", "move_cup", "enlarge_deer", "shrink_dragon",
-                 "remove_shit", "remove_cow", "compose_rabbit",
-                 "compose_cake", "replace_knife"]
+from blobctrl_tpu.apps.replay import EXAMPLE_ORDER
 
 RESIZE_AR, RESIZE_LONG, RESIZE_SHORT = 0, 1, 2
 

@@ -1,7 +1,12 @@
 """Golden demo-state replay: the reference ships 9 fixed-seed demo states
 (/root/reference/assets/results/demo/*/state/state.json; SURVEY.md §4) that
-serve as end-to-end regression fixtures. This harness replays one through the
-TPU pipeline and scores outside-mask PSNR against the recorded outputs.
+serve as end-to-end regression fixtures. This harness replays them through
+the TPU pipeline and scores outside-mask PSNR against the recorded outputs.
+
+One-command scoring (the parity metric, BASELINE.md):
+
+    python -m blobctrl_tpu.apps.replay --models_root models \
+        --demo_root assets/results/demo --all --score
 
 Requires the published checkpoints for meaningful PSNR; without them it still
 validates the full replay path (state parsing -> blob score -> pipeline).
@@ -11,9 +16,14 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+# the reference's 9 golden demo states (scripts/blobctrl_app.py:196-378)
+EXAMPLE_ORDER = ["move_hat", "move_cup", "enlarge_deer", "shrink_dragon",
+                 "remove_shit", "remove_cow", "compose_rabbit",
+                 "compose_cake", "replace_knife"]
 
 
 def load_state(demo_dir: str) -> Dict:
@@ -100,3 +110,105 @@ def outside_mask_psnr(images: np.ndarray, expected: np.ndarray,
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(1.0 / mse)
+
+
+def score_state(pipeline, demo_dir: str,
+                num_inference_steps: Optional[int] = None,
+                num_samples: Optional[int] = None) -> Dict:
+    """Replay one demo state and score it against its recorded
+    results_gallery pixels. Exclusion mask = union of every ellipse in the
+    state's ellipse_lists (the regions the edit legitimately changes)."""
+    images, state, final_ellipse = replay(pipeline, demo_dir,
+                                          num_inference_steps, num_samples)
+    _, _, _, expected = load_images(demo_dir)
+    row: Dict = {"name": os.path.basename(demo_dir.rstrip("/")),
+                 "seed": int(state["seed"]),
+                 "steps": num_inference_steps or int(state["num_inference_steps"]),
+                 "num_scored": 0, "psnr_db": None}
+    if not expected:
+        row["note"] = "no recorded results_gallery"
+        return row
+    ellipses = [_ellipse_from_state(e[0]) for e in state["ellipse_lists"]]
+    ellipses.append(final_ellipse)
+    h, w = images.shape[1:3]
+    k = min(len(images), len(expected))
+    per = [outside_mask_psnr(images[i], expected[i], ellipses, h, w)
+           for i in range(k)]
+    row.update(num_scored=k, psnr_db=float(np.mean(per)),
+               per_sample=[float(p) for p in per])
+    return row
+
+
+def score_all(pipeline, demo_root: str, names: Optional[List[str]] = None,
+              num_inference_steps: Optional[int] = None,
+              num_samples: Optional[int] = None) -> List[Dict]:
+    if names is None:
+        names = [n for n in EXAMPLE_ORDER
+                 if os.path.isfile(os.path.join(demo_root, n, "state",
+                                                "state.json"))]
+    return [score_state(pipeline, os.path.join(demo_root, n),
+                        num_inference_steps, num_samples) for n in names]
+
+
+def print_score_table(rows: List[Dict]) -> Dict:
+    header = f"{'state':<16} {'steps':>5} {'n':>2} {'outside-mask PSNR (dB)':>24}"
+    print(header)
+    print("-" * len(header))
+    scored = []
+    for r in rows:
+        p = r["psnr_db"]
+        ptxt = f"{p:.2f}" if p is not None else r.get("note", "-")
+        print(f"{r['name']:<16} {r['steps']:>5} {r['num_scored']:>2} {ptxt:>24}")
+        if p is not None:
+            scored.append(p)
+    summary = {"metric": "outside_mask_psnr_db_vs_reference_goldens",
+               "mean_psnr_db": float(np.mean(scored)) if scored else None,
+               "min_psnr_db": float(np.min(scored)) if scored else None,
+               "states_scored": len(scored), "states_total": len(rows)}
+    print(json.dumps(summary))
+    return summary
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser(
+        description="Replay the recorded demo states and score outside-mask "
+                    "PSNR against their results_gallery pixels")
+    p.add_argument("--models_root", default="models")
+    p.add_argument("--demo_root", default="assets/results/demo")
+    p.add_argument("--all", action="store_true",
+                   help="replay every available state (default if no --name)")
+    p.add_argument("--name", action="append", default=None,
+                   help="state name (repeatable); default: all")
+    p.add_argument("--score", action="store_true",
+                   help="score vs recorded pixels (otherwise just replay)")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override num_inference_steps")
+    p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--json_out", default=None,
+                   help="write the per-state rows to this JSON file")
+    args = p.parse_args()
+
+    from blobctrl_tpu.params import io as io_lib
+    pipeline = io_lib.load_pipeline(args.models_root)
+    names = args.name  # None -> all available
+    if args.score:
+        rows = score_all(pipeline, args.demo_root, names,
+                         args.steps, args.num_samples)
+        print_score_table(rows)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(rows, f, indent=1)
+    else:
+        for n in (names or EXAMPLE_ORDER):
+            d = os.path.join(args.demo_root, n)
+            if not os.path.isfile(os.path.join(d, "state", "state.json")):
+                continue
+            images, state, _ = replay(pipeline, d, args.steps,
+                                      args.num_samples)
+            print(f"{n}: replayed {images.shape[0]} sample(s), "
+                  f"seed {state['seed']}")
+
+
+if __name__ == "__main__":
+    main()

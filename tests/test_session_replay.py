@@ -112,6 +112,40 @@ def test_replay_golden_state_path(tiny_pipeline):
 
 
 @pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="no demo assets")
+def test_score_all_one_command(tiny_pipeline, capsys):
+    """The checkpoint-day one-command scorer: replays states, scores PSNR vs
+    the RECORDED results_gallery pixels, prints the table + JSON summary.
+    With tiny random weights the PSNR is low — assert it is computed, finite,
+    and actually driven by the recorded pixels."""
+    pipe = fake_prompt_encoder(tiny_pipeline)
+    rows = replay_lib.score_all(pipe, DEMO_ROOT, names=["move_hat"],
+                                num_inference_steps=1, num_samples=1)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "move_hat" and r["num_scored"] >= 1
+    assert r["psnr_db"] is not None and np.isfinite(r["psnr_db"])
+    assert all(np.isfinite(p) for p in r["per_sample"])
+
+    # the metric uses the recorded pixels: identical inputs -> inf PSNR,
+    # and the recorded golden differs from our random-weight output
+    _, _, _, expected = replay_lib.load_images(os.path.join(DEMO_ROOT,
+                                                            "move_hat"))
+    state = replay_lib.load_state(os.path.join(DEMO_ROOT, "move_hat"))
+    ellipses = [replay_lib._ellipse_from_state(e[0])
+                for e in state["ellipse_lists"]]
+    self_psnr = replay_lib.outside_mask_psnr(
+        expected[0] / 255.0, expected[0], ellipses)
+    assert self_psnr == float("inf")
+    assert r["psnr_db"] < 40.0  # random weights are far from the golden
+
+    summary = replay_lib.print_score_table(rows)
+    out = capsys.readouterr().out
+    assert "move_hat" in out and "outside-mask PSNR" in out
+    assert summary["states_scored"] == 1
+    assert summary["mean_psnr_db"] == pytest.approx(r["psnr_db"])
+
+
+@pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="no demo assets")
 def test_replay_remove_mode(tiny_pipeline):
     pipe = fake_prompt_encoder(tiny_pipeline)
     demo = os.path.join(DEMO_ROOT, "remove_cow")
