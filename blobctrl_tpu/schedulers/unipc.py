@@ -10,10 +10,14 @@ float64 into per-step coefficient tables, and the on-device step inside
 fixed-size history ring buffer. No data-dependent control flow, no
 torch.linalg.solve on device, one XLA graph for the whole denoise loop.
 
-Semantics covered: predict_x0=True, solver_type in {bh1,bh2}, epsilon
-prediction, lower_order_final, arbitrary solver_order >= 1,
-final_sigmas_type="zero"|"sigma_min" — i.e. the full BlobCtrl configuration
-(UniPC over SD-1.5's scaled_linear betas).
+Semantics covered: predict_x0=True, solver_type in {bh1,bh2}, epsilon /
+v_prediction / sample prediction, dynamic thresholding, disable_corrector,
+lower_order_final, arbitrary solver_order >= 1,
+final_sigmas_type="zero"|"sigma_min" — the full BlobCtrl configuration
+(UniPC over SD-1.5's scaled_linear betas) plus the reference scheduler's
+unused-by-BlobCtrl options
+(scheduling_unipc_multistep.py:111-901: prediction_type :171, thresholding
+_threshold_sample :358-386, disable_corrector :190).
 
 Per-step device math (i = step index, K = solver_order):
   corrector (i>0):  x <- cc_x[i]*x_last - cc_m0[i]*m_prev
@@ -59,6 +63,11 @@ class UniPCSchedule:
     cp_B: Array                # (S,)
     cp_hist: Array             # (S, K-1)
     init_noise_sigma: float = 1.0
+    prediction_type: str = "epsilon"     # "epsilon" | "v_prediction" | "sample"
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
+    cc_on: Array = None        # (S,) 1.0 where the corrector runs
 
     @property
     def num_steps(self) -> int:
@@ -96,7 +105,13 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
          beta_schedule: str = "scaled_linear", solver_order: int = 2,
          solver_type: str = "bh2", lower_order_final: bool = True,
          spacing: str = "linspace", steps_offset: int = 0,
-         final_sigmas_type: str = "zero") -> UniPCSchedule:
+         final_sigmas_type: str = "zero",
+         prediction_type: str = "epsilon", thresholding: bool = False,
+         dynamic_thresholding_ratio: float = 0.995,
+         sample_max_value: float = 1.0,
+         disable_corrector: Tuple[int, ...] = ()) -> UniPCSchedule:
+    if prediction_type not in ("epsilon", "v_prediction", "sample"):
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
     betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
     all_sigmas = np.sqrt((1.0 - acp) / acp)
@@ -202,13 +217,36 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
         prev_this_order = this_order
         lower_order_nums = min(lower_order_nums + 1, K)
 
+    # reference step():822 — the corrector at step i is skipped when (i-1)
+    # is listed in disable_corrector ("self.step_index - 1 not in
+    # self.disable_corrector")
+    cc_on = np.ones(S)
+    for d in disable_corrector:
+        if 0 <= d + 1 < S:
+            cc_on[d + 1] = 0.0
+
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return UniPCSchedule(
         timesteps=ts, timesteps_jax=jnp.asarray(ts), solver_order=K,
         conv_a=f32(conv_a), conv_s=f32(conv_s),
         cc_x=f32(cc_x), cc_m0=f32(cc_m0), cc_B=f32(cc_B), cc_mt=f32(cc_mt),
         cc_hist=f32(cc_hist),
-        cp_x=f32(cp_x), cp_m0=f32(cp_m0), cp_B=f32(cp_B), cp_hist=f32(cp_hist))
+        cp_x=f32(cp_x), cp_m0=f32(cp_m0), cp_B=f32(cp_B), cp_hist=f32(cp_hist),
+        prediction_type=prediction_type, thresholding=thresholding,
+        dynamic_thresholding_ratio=dynamic_thresholding_ratio,
+        sample_max_value=sample_max_value, cc_on=f32(cc_on))
+
+
+def _threshold_sample(x: Array, ratio: float, max_value: float) -> Array:
+    """Dynamic thresholding (Imagen §3.1; _threshold_sample,
+    scheduling_unipc_multistep.py:358-386): per-sample quantile of |x0|,
+    clamp to [-s, s], divide by s. Static shapes — jit/fori_loop safe."""
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    s = jnp.quantile(jnp.abs(flat), ratio, axis=1)
+    s = jnp.clip(s, 1.0, max_value)[:, None]
+    flat = jnp.clip(flat, -s, s) / s
+    return flat.reshape(x.shape)
 
 
 def init_state(sched: UniPCSchedule, sample: Array):
@@ -227,11 +265,20 @@ def step(sched: UniPCSchedule, i: Array, model_output: Array, state):
     sample, last_sample, hist = state
     K = sched.solver_order
     f32 = jnp.float32
-    eps = model_output.astype(f32)
+    out = model_output.astype(f32)
     sample32 = sample.astype(f32)
 
-    # eps -> x0 at current sigma
-    m_t = (sample32 - sched.conv_s[i] * eps) / sched.conv_a[i]
+    # model output -> x0 prediction at current sigma
+    # (convert_model_output, scheduling_unipc_multistep.py:453-520)
+    if sched.prediction_type == "epsilon":
+        m_t = (sample32 - sched.conv_s[i] * out) / sched.conv_a[i]
+    elif sched.prediction_type == "v_prediction":
+        m_t = sched.conv_a[i] * sample32 - sched.conv_s[i] * out
+    else:  # "sample"
+        m_t = out
+    if sched.thresholding:
+        m_t = _threshold_sample(m_t, sched.dynamic_thresholding_ratio,
+                                sched.sample_max_value)
 
     # corrector (refines `sample` using the previous step's history)
     m_prev = hist[K - 1]
@@ -240,7 +287,9 @@ def step(sched: UniPCSchedule, i: Array, model_output: Array, state):
         acc = acc + sched.cc_hist[i, j] * (hist[K - 2 - j] - m_prev)
     corrected = (sched.cc_x[i] * last_sample.astype(f32)
                  - sched.cc_m0[i] * m_prev - sched.cc_B[i] * acc)
-    sample32 = jnp.where(i > 0, corrected, sample32)
+    use_corr = (i > 0) if sched.cc_on is None else (
+        (i > 0) & (sched.cc_on[i] > 0))
+    sample32 = jnp.where(use_corr, corrected, sample32)
 
     # push current output into the ring
     hist = jnp.concatenate([hist[1:], m_t[None]], axis=0)

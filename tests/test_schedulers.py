@@ -75,6 +75,46 @@ def test_unipc_trajectory_matches_diffusers(steps, order, solver_type):
                  name=f"unipc{steps}-o{order}-{solver_type}")
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(prediction_type="v_prediction"),
+    dict(prediction_type="sample"),
+    dict(thresholding=True, sample_max_value=1.5),
+    dict(prediction_type="v_prediction", thresholding=True),
+    dict(disable_corrector=(0, 3)),
+], ids=["vpred", "sample", "thresh", "vpred+thresh", "disable_corrector"])
+def test_unipc_extended_options_match_diffusers(kwargs):
+    """The reference scheduler's options that no BlobCtrl entry point uses
+    (scheduling_unipc_multistep.py:111-901) — covered anyway so the module
+    is a complete UniPC, not just the BlobCtrl slice."""
+    import_diffusers()
+    from diffusers import UniPCMultistepScheduler
+    steps = 10
+    ref_kwargs = dict(kwargs)
+    if "disable_corrector" in ref_kwargs:
+        ref_kwargs["disable_corrector"] = list(ref_kwargs["disable_corrector"])
+    ref_sched = UniPCMultistepScheduler(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        solver_order=2, solver_type="bh2", **ref_kwargs)
+    ref_sched.set_timesteps(steps)
+    sched = junipc.make(steps, solver_order=2, solver_type="bh2", **kwargs)
+
+    outs = fake_model_outputs(steps, seed=11)
+    x_ref = torch.from_numpy(np.ones(SHAPE, np.float32))
+    x = jnp.asarray(np.ones(SHAPE, np.float32))
+    state = junipc.init_state(sched, x)
+    for i, t in enumerate(ref_sched.timesteps):
+        x_ref = ref_sched.step(torch.from_numpy(outs[i]), t, x_ref).prev_sample
+        state = junipc.step(sched, jnp.asarray(i), jnp.asarray(outs[i]), state)
+    got = junipc.final_corrected_sample(state)
+    assert_close(np.asarray(got), x_ref.numpy(), atol=5e-4, rtol=5e-3,
+                 name=f"unipc-ext-{kwargs}")
+
+
+def test_unipc_rejects_unknown_prediction_type():
+    with pytest.raises(ValueError):
+        junipc.make(5, prediction_type="flow")
+
+
 def test_unipc_step_jits_in_fori_loop():
     steps = 8
     sched = junipc.make(steps)
