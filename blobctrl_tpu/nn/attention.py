@@ -35,11 +35,33 @@ _ATTENTION_INT8 = False
 # Fold the head-merge transpose into the output projection (einsum over
 # (head, d)). Toggleable for A/B measurement; same math either way.
 _OUT_PROJ_FOLD = True
+# Fuse each pre-LayerNorm into its following projection matmul with the
+# Pallas ln_matmul kernel (one x read instead of LN-write + matmul-read).
+# Measured on v5e (scripts/bench_r3_levers.py, interleaved): the kernel
+# LOSES at the production shapes (0.87x overall; 0.68-0.86x at L0/L1, only
+# L2 qkv wins 1.16x) — the unfused timing implies XLA already fuses the LN
+# chain into the matmul on this backend, so the Pallas version only brings
+# worse MXU tiling at K=320/640. Default OFF; kept for re-evaluation on
+# other shapes/toolchains. "auto": off (historical name); "on"; "off";
+# "interpret": forced on in interpret mode (CPU tests).
+_LN_MATMUL_FUSE = "off"
 
 
 def set_out_proj_fold(flag: bool):
     global _OUT_PROJ_FOLD
     _OUT_PROJ_FOLD = bool(flag)
+
+
+def set_ln_matmul_fuse(mode: str):
+    global _LN_MATMUL_FUSE
+    assert mode in ("auto", "on", "off", "interpret"), mode
+    _LN_MATMUL_FUSE = mode
+
+
+def _use_ln_fuse() -> bool:
+    if _LN_MATMUL_FUSE in ("off", "auto"):
+        return False
+    return True  # "on" | "interpret"
 
 
 def set_attention_backend(backend: str, qk_int8: Optional[bool] = None):
@@ -124,7 +146,17 @@ def init_attention(key, query_dim: int, heads: int, cross_dim: Optional[int] = N
 
 
 def attention(params, x: Array, heads: int, context: Optional[Array] = None,
-              mask: Optional[Array] = None) -> Array:
+              mask: Optional[Array] = None, norm=None) -> Array:
+    """norm: optional pre-LN params — when given and ln_matmul fusion is
+    enabled, the LayerNorm fuses into the projection matmul (x arrives
+    UN-normalized); otherwise the LN is applied here first."""
+    fuse = norm is not None and _use_ln_fuse()
+    if fuse and context is None and "bias" in params["to_q"]:
+        # biased self-attention (not an SD-1.5 shape): k/v would read the
+        # un-normalized x below — fall back to the explicit LN
+        fuse = False
+    if norm is not None and not fuse:
+        x = layers.layer_norm(norm, x)
     if context is None and "bias" not in params["to_q"]:
         # self-attention: fuse the three projections into one matmul. The
         # weight concat is loop-invariant, so XLA hoists it out of the
@@ -132,12 +164,25 @@ def attention(params, x: Array, heads: int, context: Optional[Array] = None,
         wq = params["to_q"]["kernel"]
         wk = params["to_k"]["kernel"]
         wv = params["to_v"]["kernel"]
-        qkv = jnp.dot(x, jnp.concatenate([wq, wk, wv], axis=1).astype(x.dtype))
+        w_qkv = jnp.concatenate([wq, wk, wv], axis=1)
+        if fuse:
+            from blobctrl_tpu.ops import ln_matmul as lnm
+            qkv = lnm.ln_matmul(x, norm["scale"], norm["bias"], w_qkv,
+                                interpret=_LN_MATMUL_FUSE == "interpret")
+        else:
+            qkv = jnp.dot(x, w_qkv.astype(x.dtype))
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
-        q = layers.linear(params["to_q"], x)
-        k = layers.linear(params["to_k"], context)
-        v = layers.linear(params["to_v"], context)
+        if fuse:
+            from blobctrl_tpu.ops import ln_matmul as lnm
+            q = lnm.ln_matmul(x, norm["scale"], norm["bias"],
+                              params["to_q"]["kernel"],
+                              params["to_q"].get("bias"),
+                              interpret=_LN_MATMUL_FUSE == "interpret")
+        else:
+            q = layers.linear(params["to_q"], x)
+        k = layers.linear(params["to_k"], context if context is not None else x)
+        v = layers.linear(params["to_v"], context if context is not None else x)
     out_h = multi_head_attention(q, k, v, heads, mask, return_heads=True)
     if not _OUT_PROJ_FOLD:
         b, h, sq, d = out_h.shape
@@ -169,8 +214,18 @@ def init_feed_forward(key, dim: int, mult: int = 4):
     }
 
 
-def feed_forward(params, x: Array) -> Array:
-    h = layers.linear(params["proj_in"], x)
+def feed_forward(params, x: Array, norm=None) -> Array:
+    """norm: optional pre-LN params, fused into proj_in when enabled."""
+    if norm is not None and _use_ln_fuse():
+        from blobctrl_tpu.ops import ln_matmul as lnm
+        h = lnm.ln_matmul(x, norm["scale"], norm["bias"],
+                          params["proj_in"]["kernel"],
+                          params["proj_in"].get("bias"),
+                          interpret=_LN_MATMUL_FUSE == "interpret")
+    else:
+        if norm is not None:
+            x = layers.layer_norm(norm, x)
+        h = layers.linear(params["proj_in"], x)
     h, gate = jnp.split(h, 2, axis=-1)
     h = h * layers.gelu(gate)
     return layers.linear(params["proj_out"], h)
@@ -199,11 +254,12 @@ def init_transformer_block(key, dim: int, heads: int, cross_dim: Optional[int]):
 
 def transformer_block(params, x: Array, heads: int,
                       context: Optional[Array] = None) -> Array:
-    h = layers.layer_norm(params["norm1"], x)
-    x = x + attention(params["attn1"], h, heads)
+    # pre-LNs are passed down so they can fuse into the projection matmuls
+    # (ops/ln_matmul.py) when enabled; the callees apply them explicitly
+    # otherwise — identical math either way
+    x = x + attention(params["attn1"], x, heads, norm=params["norm1"])
     if "attn2" in params:
-        h = layers.layer_norm(params["norm2"], x)
-        x = x + attention(params["attn2"], h, heads, context=context)
-    h = layers.layer_norm(params["norm3"], x)
-    x = x + feed_forward(params["ff"], h)
+        x = x + attention(params["attn2"], x, heads, context=context,
+                          norm=params["norm2"])
+    x = x + feed_forward(params["ff"], x, norm=params["norm3"])
     return x

@@ -30,6 +30,51 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+
+# exp2 folding for the fixed-max kernel: fold softmax scale * log2(e) into q
+# (an S*d elementwise op outside the kernel, fused into the projection
+# epilogue) and the -fixed_max shift into an EXTRA CONTRACTION LANE
+# (q lane d = -fixed_max*log2e, k lane d = 1 — free: d pads to 128 anyway),
+# so the kernel's only elementwise pass over the S^2 scores is a single
+# exp2 — removing the scale-multiply, shift-subtract, and exp's internal
+# log2e multiply. Exact math. MEASURED on v5e: NEUTRAL at the production
+# L0 shape (1.00x — the kernel is MXU-bound at ~94% of bf16 peak; Mosaic
+# already overlaps/fuses the elementwise passes) and SLOWER at short-seq
+# shapes (0.95x L1, 0.45x L2: the +1 lane pushes d=160 across a lane-tile
+# boundary and the concats dominate tiny grids). Default OFF; kept for
+# other-toolchain re-evaluation.
+_EXP2_FOLD = False
+
+
+def set_exp2_fold(flag: bool):
+    global _EXP2_FOLD
+    _EXP2_FOLD = bool(flag)
+
+
+def _flash_kernel_fixed_max2(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref):
+    """exp2-folded fixed-max kernel: scores arrive from the MXU already
+    scaled and shifted (see LOG2E folding above); p = 2^s."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(s)
+    l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + pv
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 def _flash_kernel_fixed_max(q_ref, k_ref, v_ref, o_ref, acc_ref, l_ref, *,
@@ -144,13 +189,49 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
-                                             "interpret", "qk_int8",
-                                             "fixed_max"))
+# Pad head_dim to the 128-lane width in HBM, or leave it unpadded and let
+# Mosaic pad only inside VMEM (the d=40/80/160 production head dims then
+# read 1x instead of 3.2x/1.6x/1.6x the q/k/v bytes from HBM). Measured on
+# v5e (scripts/bench_r3_levers.py): NO e2e difference at d=40/80 (the
+# kernel is VPU-bound; the padded reads fully overlap compute) and 8%
+# SLOWER unpadded at d=160 (unaligned DMA) — so the padded layout stays the
+# default; pad_d=False remains available.
+_PAD_D_HBM = True
+
+
+def set_pad_d_hbm(flag: bool):
+    global _PAD_D_HBM
+    _PAD_D_HBM = bool(flag)
+
+
 def flash_attention(q: Array, k: Array, v: Array, scale: float,
                     block_q: int = 512, block_kv: int = 4096,
                     interpret: bool = False, qk_int8: bool = False,
-                    fixed_max: float | None = 20.0) -> Array:
+                    fixed_max: float | None = 20.0,
+                    pad_d: bool | None = None,
+                    exp2_fold: bool | None = None) -> Array:
+    """Module-flag defaults (pad_d, exp2_fold) are resolved HERE, outside
+    jit, so set_pad_d_hbm/set_exp2_fold take effect without stale-cache
+    surprises."""
+    if pad_d is None:
+        pad_d = _PAD_D_HBM
+    if exp2_fold is None:
+        exp2_fold = _EXP2_FOLD
+    return _flash_attention(q, k, v, scale, block_q=block_q,
+                            block_kv=block_kv, interpret=interpret,
+                            qk_int8=qk_int8, fixed_max=fixed_max,
+                            pad_d=pad_d, exp2_fold=exp2_fold)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
+                                             "interpret", "qk_int8",
+                                             "fixed_max", "pad_d",
+                                             "exp2_fold"))
+def _flash_attention(q: Array, k: Array, v: Array, scale: float,
+                     block_q: int = 512, block_kv: int = 4096,
+                     interpret: bool = False, qk_int8: bool = False,
+                     fixed_max: float | None = 20.0,
+                     pad_d: bool = True, exp2_fold: bool = True) -> Array:
     """q: (B, H, Sq, D), k/v: (B, H, Sk, D) -> (B, H, Sq, D).
 
     fixed_max: static softmax shift (see _flash_kernel_fixed_max) — exact for
@@ -174,10 +255,25 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
         block_kv //= 2
     assert block_kv >= 128, f"kv seq {sk} not tileable"
     q_pad = _round_up(sq, block_q) - sq
-    dp = _round_up(d, 128)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, dp - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
+    exp2_fold = (exp2_fold and fixed_max is not None and not qk_int8)
+    if exp2_fold:
+        # fold scale*log2e into q and the -fixed_max shift into an extra
+        # contraction lane (see LOG2E note above); the kernel then computes
+        # p = 2^(q.k) with no elementwise pre-pass over the scores
+        q = jnp.concatenate(
+            [(q * (scale * LOG2E)).astype(q.dtype),
+             jnp.full(q.shape[:-1] + (1,), -fixed_max * LOG2E, q.dtype)],
+            axis=-1)
+        k = jnp.concatenate([k, jnp.ones(k.shape[:-1] + (1,), k.dtype)],
+                            axis=-1)
+        d_in = d + 1
+    else:
+        d_in = d
+    dp = _round_up(d_in, 128) if pad_d else d_in
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, dp - d_in)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, dp - d_in)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dp - d)))
     sqp = sq + q_pad
 
@@ -235,6 +331,14 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
             scratch_shapes=[scratch[0], scratch[2]],
             **common,
         )(qi, ki, vp, qs, ks_t)
+    elif exp2_fold:
+        out = pl.pallas_call(
+            _flash_kernel_fixed_max2,
+            in_specs=[q_spec, k_spec, v_spec],
+            out_specs=o_spec,
+            scratch_shapes=scratch[:2],
+            **common,
+        )(qp, kp, vp)
     elif fixed_max is not None:
         out = pl.pallas_call(
             functools.partial(_flash_kernel_fixed_max, scale=scale,

@@ -29,6 +29,21 @@ def test_conv3x3_matches_xla(b, h, w, c, co):
     assert rel < 1e-5, rel
 
 
+@pytest.mark.parametrize("b,h,w,c,co", [
+    (1, 6, 10, 64, 128),
+    (2, 16, 4, 32, 32),      # multiple row blocks exercise the halo rows
+])
+def test_conv3x3_halo1_matches_views3(b, h, w, c, co):
+    """Single-read halo variant == the 3-view variant == XLA."""
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.05, jnp.float32)
+    bias = jnp.asarray(RNG.randn(co), jnp.float32)
+    ref = layers.conv2d({"kernel": k, "bias": bias}, x, padding=1)
+    got = conv3x3(x, k, bias, interpret=True, halo="halo1")
+    rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+    assert rel < 1e-5, rel
+
+
 def test_conv3x3_fused_silu_prologue():
     """conv3x3(silu(x*a+s)) == explicit chain, incl. zero-pad-after-activation
     semantics at the borders."""

@@ -33,6 +33,53 @@ def test_flash_matches_xla(b, h, s, d):
                  name=f"flash_{b}_{h}_{s}_{d}")
 
 
+@pytest.mark.parametrize("d", [40, 80])
+def test_flash_exp2_fold_matches_unfolded(d):
+    """exp2-folded fixed-max kernel (scale*log2e in q, shift as an extra
+    contraction lane) == the plain fixed-max kernel == XLA softmax."""
+    b, h, s = 1, 2, 256
+    q = RNG.randn(b, h, s, d).astype(np.float32)
+    k = RNG.randn(b, h, s, d).astype(np.float32)
+    v = RNG.randn(b, h, s, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    ref = attention.sdpa_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                             scale)
+    fa.set_exp2_fold(True)
+    try:
+        folded = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), scale=scale, block_q=128,
+                                    block_kv=128, interpret=True)
+        fa.set_exp2_fold(False)
+        plain = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), scale=scale, block_q=128,
+                                   block_kv=128, interpret=True)
+    finally:
+        fa.set_exp2_fold(True)
+    assert_close(np.asarray(folded), np.asarray(ref), atol=1e-5, rtol=1e-4,
+                 name=f"exp2fold_vs_xla_d{d}")
+    assert_close(np.asarray(folded), np.asarray(plain), atol=1e-5, rtol=1e-4,
+                 name=f"exp2fold_vs_plain_d{d}")
+
+
+@pytest.mark.parametrize("d", [40, 80, 160])
+def test_flash_unpadded_d_matches_padded(d):
+    """pad_d=False reads q/k/v at their true head dim from HBM (Mosaic pads
+    only in VMEM) — must be numerically identical to the padded layout."""
+    b, h, s = 1, 2, 256
+    q = RNG.randn(b, h, s, d).astype(np.float32)
+    k = RNG.randn(b, h, s, d).astype(np.float32)
+    v = RNG.randn(b, h, s, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+    padded = fa.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                scale=scale, block_q=128, block_kv=128,
+                                interpret=True, pad_d=True)
+    unpadded = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), scale=scale, block_q=128,
+                                  block_kv=128, interpret=True, pad_d=False)
+    np.testing.assert_allclose(np.asarray(unpadded), np.asarray(padded),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_flash_bf16_io():
     q = (RNG.randn(1, 2, 256, 40) * 0.5).astype(np.float32)
     k = (RNG.randn(1, 2, 256, 40) * 0.5).astype(np.float32)
