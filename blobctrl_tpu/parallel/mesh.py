@@ -44,7 +44,7 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
-def _model_spec_for(path: str, arr) -> P:
+def _model_spec_for(path: str, arr, axes=("model",)) -> P:
     """Partition spec for one param leaf under model (tensor) sharding.
 
     Megatron-style pairing over the transformer sublayers so consecutive
@@ -55,34 +55,42 @@ def _model_spec_for(path: str, arr) -> P:
       * convs: output-channel sharded (the resnet stack's natural split)
     GSPMD inserts the all-reduce/all-gather collectives; any spec is
     numerically identical — these only set the communication pattern.
+
+    axes: mesh axis name(s) the sharded dim spreads over — ("model",) for
+    plain TP, ("data", "model") for networks whose batch dim cannot use the
+    data axis (e.g. BlobNet at batch 1 in the hybrid CFG-data recipe).
     """
+    ax = axes[0] if len(axes) == 1 else tuple(axes)
     is_kernel = path.endswith(".kernel")
     row_parallel = (".to_out." in path or ".proj_out." in path)
     if is_kernel and arr.ndim == 2:
-        return P("model", None) if row_parallel else P(None, "model")
+        return P(ax, None) if row_parallel else P(None, ax)
     if is_kernel and arr.ndim == 4:
-        return P(None, None, None, "model")
+        return P(None, None, None, ax)
     if path.endswith(".bias") and arr.ndim == 1 and not row_parallel:
-        return P("model")
+        return P(ax)
     return P()
 
 
-def shard_params(mesh: Mesh, params, model_parallel: bool = False):
+def shard_params(mesh: Mesh, params, model_parallel: bool = False,
+                 axes=("model",)):
     """Place a param tree on the mesh: replicated, or with large kernels
-    sharded over the model axis (GSPMD handles the rest)."""
-    if not model_parallel or mesh.shape["model"] == 1:
+    sharded over the given mesh axes (GSPMD handles the rest)."""
+    msize = 1
+    for a in axes:
+        msize *= mesh.shape[a]
+    if not model_parallel or msize == 1:
         s = replicated(mesh)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), params)
-
-    msize = mesh.shape["model"]
 
     def place(path, arr):
         keys = [p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
                 for p in path]
-        spec = _model_spec_for("." + ".".join(str(k) for k in keys), arr)
+        spec = _model_spec_for("." + ".".join(str(k) for k in keys), arr,
+                               axes)
         # only shard when divisible; replicate otherwise
-        for ax, name in enumerate(spec):
-            if name == "model" and arr.shape[ax] % msize != 0:
+        for ax_i, name in enumerate(spec):
+            if name is not None and arr.shape[ax_i] % msize != 0:
                 spec = P()
                 break
         return jax.device_put(arr, NamedSharding(mesh, spec))

@@ -135,20 +135,36 @@ class BlobNetPipeline:
         self.blackout_nsfw = blackout_nsfw
         self._denoise_cache = {}
 
-    def shard_to_mesh(self, mesh=None, model_parallel: bool = False):
+    def shard_to_mesh(self, mesh=None, model_parallel: bool = False,
+                      hybrid_cfg_data: bool = False):
         """Place all params on a device mesh (replicated, or with large
         kernels sharded over the model axis). Batch inputs are sharded per
-        call over the data axis; weights stay resident across edits."""
+        call over the data axis; weights stay resident across edits.
+
+        hybrid_cfg_data (single-edit latency recipe, PERF_NOTES "TP latency
+        projection" path 2): the UNet's CFG pair is data-parallel except one
+        tiny gather at the guidance combine, so the UNet shards its batch
+        over ``data`` and its weights over ``model`` only, while BlobNet
+        (batch 1, shared by both CFG rows via the dedup) tensor-shards over
+        BOTH axes — halving the UNet all-reduce payload per chip vs pure TP
+        at the same chip count. Implies model_parallel."""
         from blobctrl_tpu.parallel import mesh as mesh_lib
         if mesh is not None:
             self.mesh = mesh
         assert self.mesh is not None, "no mesh given"
+        self._hybrid_cfg_data = bool(hybrid_cfg_data)
+        if hybrid_cfg_data:
+            model_parallel = True
         for name in ("unet_params", "blobnet_params", "vae_params",
                      "clip_params", "dino_params"):
             p = getattr(self, name)
             if p is not None:
+                axes = (("data", "model")
+                        if hybrid_cfg_data and name == "blobnet_params"
+                        else ("model",))
                 setattr(self, name, mesh_lib.shard_params(
-                    self.mesh, p, model_parallel=model_parallel))
+                    self.mesh, p, model_parallel=model_parallel, axes=axes))
+        self._denoise_cache.clear()  # sharding strategy changes the graph
         return self
 
     # ------------------------------------------------------------------
@@ -236,10 +252,25 @@ class BlobNetPipeline:
         # guidance_scale is a traced operand (sweeping it must not recompile
         # the 50-step graph), so it is NOT part of the cache key; neither is
         # the encoder-cache key-step mask (an operand array)
+        hybrid = (self.mesh is not None
+                  and getattr(self, "_hybrid_cfg_data", False) and do_cfg)
         key = (scheduler_name, num_steps, do_cfg, use_blobnet, encoder_cache,
-               decode)
+               decode, hybrid)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
+
+        if hybrid:
+            from jax.sharding import NamedSharding, PartitionSpec
+            _cfg_shard = NamedSharding(self.mesh, PartitionSpec("data"))
+
+            def cfg_batch_constraint(x):
+                """Pin the CFG batch dim to the data axis (the uncond/cond
+                rows land on different chip groups; GSPMD inserts only the
+                tiny gather at the guidance combine)."""
+                return jax.lax.with_sharding_constraint(x, _cfg_shard)
+        else:
+            def cfg_batch_constraint(x):
+                return x
 
         if scheduler_name == "unipc":
             sched = unipc_lib.make(num_steps)
@@ -297,10 +328,10 @@ class BlobNetPipeline:
                 [fg_lat[:n], fg_score[:n], fg_feats[:n]], axis=-1).astype(dtype)
             blob_cond_right_extras = jnp.concatenate(
                 [fg_score[:n], fg_feats[:n]], axis=-1).astype(dtype)
-            unet_cond_left = jnp.concatenate(
-                [bg_lat, bg_score], axis=-1).astype(dtype)
-            bg_score_d = bg_score.astype(dtype)
-            pe = prompt_embeds.astype(dtype)
+            unet_cond_left = cfg_batch_constraint(jnp.concatenate(
+                [bg_lat, bg_score], axis=-1).astype(dtype))
+            bg_score_d = cfg_batch_constraint(bg_score.astype(dtype))
+            pe = cfg_batch_constraint(prompt_embeds.astype(dtype))
 
             def encode_step(i, sample_d):
                 """Full conditioning path: BlobNet + UNet encoder. Returns
@@ -309,7 +340,8 @@ class BlobNetPipeline:
                 lmi = (jnp.concatenate([sample_d] * 2, axis=0)
                        if do_cfg else sample_d)
                 unet_right = jnp.concatenate([lmi, bg_score_d], axis=-1)
-                unet_in = jnp.concatenate([unet_cond_left, unet_right], axis=2)
+                unet_in = cfg_batch_constraint(
+                    jnp.concatenate([unet_cond_left, unet_right], axis=2))
 
                 if use_blobnet:
                     # BlobNet at batch B (no CFG duplication; see docstring)
@@ -333,7 +365,10 @@ class BlobNetPipeline:
 
                     def bcast(r):
                         r = crop_right(r)
-                        return (jnp.concatenate([r, r], axis=0) if do_cfg else r)
+                        if do_cfg:
+                            r = cfg_batch_constraint(
+                                jnp.concatenate([r, r], axis=0))
+                        return r
 
                     x_mid, skips = unet_lib.unet_encode(
                         unet_params, unet_cfg, unet_in, t, pe,

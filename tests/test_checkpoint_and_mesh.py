@@ -117,6 +117,51 @@ def test_pipeline_sharded_matches_unsharded():
     np.testing.assert_allclose(got, ref, atol=1.01 / 255.0)
 
 
+@pytest.mark.slow
+def test_pipeline_hybrid_cfg_data_matches_unsharded():
+    """Hybrid CFG-data x model recipe (PERF_NOTES "TP latency projection"
+    path 2): UNet CFG pair split over the data axis, BlobNet tensor-sharded
+    over data x model — must equal the unsharded pipeline."""
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    kwargs = dict(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+
+    rng = np.random.RandomState(7)
+    H = W = 64
+    fg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    pe = rng.randn(1, 7, 16).astype(np.float32)
+    npe = rng.randn(1, 7, 16).astype(np.float32)
+    lat = rng.randn(1, 8, 8, 4).astype(np.float32)
+    dino = rng.randn(1, 16).astype(np.float32)
+
+    call_kwargs = dict(fg_image=fg, bg_image=bg, gs_score=gs, height=H,
+                       width=W, num_inference_steps=2, guidance_scale=7.5,
+                       latents=lat, prompt_embeds=pe,
+                       negative_prompt_embeds=npe, fg_dino_feats=dino)
+
+    ref = BlobNetPipeline(**kwargs)(**call_kwargs).images
+
+    mesh = mesh_lib.make_mesh(data=2, model=2)
+    pipe = BlobNetPipeline(mesh=mesh, **kwargs).shard_to_mesh(
+        hybrid_cfg_data=True)
+    with mesh:
+        got = pipe(**call_kwargs).images
+    np.testing.assert_allclose(got, ref, atol=1.01 / 255.0)
+
+    # BlobNet kernels really spread over BOTH axes (8-way at divisible dims)
+    from jax.sharding import PartitionSpec as P
+    leaf = pipe.blobnet_params["down_blocks"][0]["resnets"][0]["conv1"]["kernel"]
+    assert leaf.sharding.spec == P(None, None, None, ("data", "model"))
+
+
 def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):
     """An interrupted orbax save leaves step_N.orbax-checkpoint-tmp-<ts>;
     resume must skip it instead of crashing on int()."""
