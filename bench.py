@@ -83,20 +83,27 @@ def main():
         run_cached()
         cache_sec = time.perf_counter() - t0
 
-    # int8 QK^T flash path (opt-in; measured only ~0.4% e2e on v5e — the
-    # kernel's MXU stage overlaps the VPU-bound softmax — so off by default)
+    # int8-everything path (opt-in, LOSSY: int8 QK^T flash + int8 convs with
+    # global activation scales) — the checkpoint-day quality gate is
+    # `replay --all --score` under this mode; speed measured here
     int8_sec = None
     if os.environ.get("BENCH_INT8", "0") == "1":
         from blobctrl_tpu.nn import attention
-        attention.set_attention_backend("auto", qk_int8=True)
+        from blobctrl_tpu.ops import conv3x3 as conv_mod
+        attention.set_attention_backend("auto", qk_int8=True,
+                                        int8_global_k=True)
+        conv_mod.set_conv_int8(True)
         pipe._denoise_cache.clear()
         try:
+            print("bench: warming int8 graph", file=sys.stderr, flush=True)
             run()
             t0 = time.perf_counter()
             run()
             int8_sec = time.perf_counter() - t0
         finally:
-            attention.set_attention_backend("auto", qk_int8=False)
+            attention.set_attention_backend("auto", qk_int8=False,
+                                            int8_global_k=False)
+            conv_mod.set_conv_int8(False)
             pipe._denoise_cache.clear()
 
     # remove-mode edit (strength 0 -> statically UNet-only loop)
@@ -127,7 +134,7 @@ def main():
         "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
         "remove_edit_seconds": round(remove_sec, 4) if remove_sec else None,
         "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,
-        "int8_qk_edit_seconds": round(int8_sec, 4) if int8_sec else None,
+        "int8_edit_seconds": round(int8_sec, 4) if int8_sec else None,
         "device": str(jax.devices()[0]),
     }))
 

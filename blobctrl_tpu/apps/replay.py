@@ -187,7 +187,18 @@ def main():
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--json_out", default=None,
                    help="write the per-state rows to this JSON file")
+    p.add_argument("--int8", action="store_true",
+                   help="score under the opt-in int8-everything mode "
+                        "(int8 global-k flash + int8 convs) — THE quality "
+                        "gate for that mode on real checkpoints")
     args = p.parse_args()
+
+    if args.int8:
+        from blobctrl_tpu.nn import attention
+        from blobctrl_tpu.ops import conv3x3 as conv_mod
+        attention.set_attention_backend("auto", qk_int8=True,
+                                        int8_global_k=True)
+        conv_mod.set_conv_int8(True)
 
     from blobctrl_tpu.params import io as io_lib
     pipeline = io_lib.load_pipeline(args.models_root)

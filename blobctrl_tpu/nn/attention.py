@@ -32,6 +32,11 @@ _FLASH_MIN_SEQ = 1024
 # Opt-in int8 QK^T inside the flash kernel (per-row exact rescale; ~1%
 # relative output drift, 2x MXU rate on the padded QK^T stage).
 _ATTENTION_INT8 = False
+# With int8, use ONE global k scale instead of per-row k scales: collapses
+# the exact rescale's two S^2 VPU passes into a single exp2-folded FMA
+# (ops/flash_attention._flash_kernel_int8g). Lossier; this is the variant
+# the int8-everything mode uses.
+_ATTENTION_INT8_GLOBAL_K = False
 # Fold the head-merge transpose into the output projection (einsum over
 # (head, d)). Toggleable for A/B measurement; same math either way.
 _OUT_PROJ_FOLD = True
@@ -64,12 +69,15 @@ def _use_ln_fuse() -> bool:
     return True  # "on" | "interpret"
 
 
-def set_attention_backend(backend: str, qk_int8: Optional[bool] = None):
-    global _ATTENTION_BACKEND, _ATTENTION_INT8
+def set_attention_backend(backend: str, qk_int8: Optional[bool] = None,
+                          int8_global_k: Optional[bool] = None):
+    global _ATTENTION_BACKEND, _ATTENTION_INT8, _ATTENTION_INT8_GLOBAL_K
     assert backend in ("xla", "pallas", "auto"), backend
     _ATTENTION_BACKEND = backend
     if qk_int8 is not None:
         _ATTENTION_INT8 = bool(qk_int8)
+    if int8_global_k is not None:
+        _ATTENTION_INT8_GLOBAL_K = bool(int8_global_k)
 
 
 def get_attention_backend() -> str:
@@ -120,8 +128,9 @@ def multi_head_attention(q: Array, k: Array, v: Array, heads: int,
     qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
     if _use_flash(sq, sk, d, mask is not None):
         from blobctrl_tpu.ops import flash_attention
-        out = flash_attention.flash_attention(qh, kh, vh, scale=scale,
-                                              qk_int8=_ATTENTION_INT8)
+        out = flash_attention.flash_attention(
+            qh, kh, vh, scale=scale, qk_int8=_ATTENTION_INT8,
+            int8_global_k=_ATTENTION_INT8_GLOBAL_K)
     else:
         out = sdpa_xla(qh, kh, vh, scale, mask)
     if return_heads:

@@ -42,11 +42,21 @@ Array = jax.Array
 # (32x64x640), 1.17x (16x32x1280), 1.10x (960->320 concat) — bit-exact.
 _HALO_MODE = "halo1"
 
+# Opt-in int8 conv path (global activation scale + per-output-channel weight
+# scales, int32 MXU accumulation): ~2x MXU rate, LOSSY — part of the
+# int8-everything mode to be gated on outside-mask PSNR with real weights.
+_CONV_INT8 = False
+
 
 def set_halo_mode(mode: str):
     global _HALO_MODE
     assert mode in ("views3", "halo1"), mode
     _HALO_MODE = mode
+
+
+def set_conv_int8(flag: bool):
+    global _CONV_INT8
+    _CONV_INT8 = bool(flag)
 
 
 def _conv3x3_kernel_halo(x_ref, h1_ref, h2_ref, w_ref, b_ref, o_ref, acc_ref):
@@ -66,6 +76,29 @@ def _conv3x3_kernel_halo(x_ref, h1_ref, h2_ref, w_ref, b_ref, o_ref, acc_ref):
                 xs, w_ref[dh * 3 + dw], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     o_ref[0] = acc_ref[:].reshape(bh, w, o_ref.shape[3]).astype(o_ref.dtype)
+
+
+def _conv3x3_kernel_halo_i8(x_ref, h1_ref, h2_ref, w_ref, s_ref, b_ref,
+                            o_ref, acc_ref):
+    """int8 variant of the halo kernel: x and w arrive int8 (x under ONE
+    global scale, w per-output-channel), taps accumulate in int32 on the
+    MXU (2x the bf16 rate on v5e), and one fp32 rescale pass maps the
+    result back. Part of the opt-in int8-everything mode — lossier than
+    bf16; gate on outside-mask PSNR once real checkpoints exist
+    (PERF_NOTES 'Round-3 levers' item 5)."""
+    bh, w = o_ref.shape[1], o_ref.shape[2]
+    c = x_ref.shape[3]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    window = jnp.concatenate([x_ref[0], h1_ref[0], h2_ref[0]], axis=0)
+    rows = (window[0:bh], window[1:bh + 1], window[2:bh + 2])
+    for dh, row in enumerate(rows):
+        for dw in range(3):
+            xs = row[:, dw:dw + w, :].reshape(bh * w, c)
+            acc_ref[:] += jax.lax.dot_general(
+                xs, w_ref[dh * 3 + dw], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+    out = acc_ref[:].astype(jnp.float32) * s_ref[0][None] + b_ref[0][None]
+    o_ref[0] = out.reshape(bh, w, o_ref.shape[3]).astype(o_ref.dtype)
 
 
 def _conv3x3_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, acc_ref):
@@ -105,10 +138,10 @@ def _pick_row_block(h: int, w: int, c: int) -> int:
     return max(bh, 1) if h % max(bh, 1) == 0 else h
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "halo"))
 def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
             scale: Array | None = None, shift: Array | None = None,
-            interpret: bool = False, halo: str | None = None) -> Array:
+            interpret: bool = False, halo: str | None = None,
+            int8: bool | None = None) -> Array:
     """3x3 stride-1 same-conv. x: (B, H, W, C) NHWC; kernel: (3, 3, C, Co)
     HWIO; bias: (Co,).
 
@@ -116,7 +149,23 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
     conv3x3(silu(x * scale + shift)) with conv zero-padding applied after the
     activation (the fused resnet prologue; GroupNorm statistics are folded
     into scale/shift by the caller).
+
+    Module-flag defaults (halo, int8) resolve HERE, outside jit, so the
+    set_* toggles take effect without stale-cache surprises.
     """
+    if halo is None:
+        halo = _HALO_MODE
+    if int8 is None:
+        int8 = _CONV_INT8
+    return _conv3x3(x, kernel, bias, scale, shift, interpret=interpret,
+                    halo=halo, int8=int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "halo", "int8"))
+def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
+             scale: Array | None = None, shift: Array | None = None,
+             interpret: bool = False, halo: str = "halo1",
+             int8: bool = False) -> Array:
     b, h, w, c = x.shape
     c_out = kernel.shape[-1]
 
@@ -148,25 +197,51 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         # lane-aligned first chunk; works for odd widths too (1029-ch
         # BlobNet conv_in)
         half = min((c // 2 + 127) // 128 * 128, c - 128)
-        y0 = conv3x3(x[..., :half], kernel[:, :, :half], bias,
-                     interpret=interpret, halo=halo)
-        y1 = conv3x3(x[..., half:], kernel[:, :, half:], None,
-                     interpret=interpret, halo=halo)
+        # int8 recursion: each half quantizes under its own global scale
+        y0 = _conv3x3(x[..., :half], kernel[:, :, :half], bias,
+                      interpret=interpret, halo=halo, int8=int8)
+        y1 = _conv3x3(x[..., half:], kernel[:, :, half:], None,
+                      interpret=interpret, halo=halo, int8=int8)
         return y0 + y1
+
+    out_dtype = x.dtype
+    rescale = None
+    if int8:
+        # ONE global activation scale (per-row scales cannot factor out of
+        # the 9-tap sum: each output pixel mixes 9 differently-scaled input
+        # rows) + per-output-channel weight scales. LOSSY — opt-in.
+        xs = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-20) / 127.0
+        x = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                     -127, 127).astype(jnp.int8)
+        wf = kernel.reshape(9, c, c_out).astype(jnp.float32)
+        ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1)), 1e-20) / 127.0
+        wq = jnp.clip(jnp.round(wf / ws[None, None]),
+                      -127, 127).astype(jnp.int8)
+        rescale = xs * ws  # (Co,) f32
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     bc = _pick_co_block(c, c_out, jnp.dtype(x.dtype).itemsize)
     co_pad = (c_out + bc - 1) // bc * bc - c_out
-    wk = kernel.reshape(9, c, c_out).astype(x.dtype)
+    wk = wq if int8 else kernel.reshape(9, c, c_out).astype(x.dtype)
     bb = (bias if bias is not None else jnp.zeros((c_out,))).astype(jnp.float32)
     if co_pad:
         wk = jnp.pad(wk, ((0, 0), (0, 0), (0, co_pad)))
         bb = jnp.pad(bb, ((0, co_pad),))
+        if int8:
+            rescale = jnp.pad(rescale, ((0, co_pad),))
     n_co = (c_out + co_pad) // bc
     bb = bb.reshape(1, c_out + co_pad)
+    if int8:
+        rescale = rescale.reshape(1, c_out + co_pad)
 
     bh = _pick_row_block(h, w, c)
+    if int8:
+        # the i8 kernel's epilogue (int32 acc -> fp32 rescale temp -> out)
+        # keeps ~16 B/elem of block-proportional VMEM stack live; cap it or
+        # the 512-res VAE-decode shapes blow the 16 MB scoped limit
+        while bh > 1 and bh % 2 == 0 and 16 * bh * w * bc > 8 * 1024 * 1024:
+            bh //= 2
     n_h = h // bh
 
     w_spec = pl.BlockSpec((9, c, bc), lambda ib, ih, ic: (0, 0, ic),
@@ -178,17 +253,46 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         out_specs=pl.BlockSpec((1, bh, w, bc),
                                lambda ib, ih, ic: (ib, ih, 0, ic),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c_out + co_pad), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bh * w, bc), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c_out + co_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bh * w, bc),
+                                   jnp.int32 if int8 else jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         interpret=interpret,
     )
     flops = 2 * b * h * w * 9 * c * (c_out + co_pad)
-    out_bytes = b * h * w * (c_out + co_pad) * xp.dtype.itemsize
+    out_bytes = b * h * w * (c_out + co_pad) * jnp.dtype(out_dtype).itemsize
 
-    mode = halo if halo is not None else _HALO_MODE
+    if int8:
+        # int8 only ships the halo variant (the production default)
+        out = pl.pallas_call(
+            _conv3x3_kernel_halo_i8,
+            in_specs=[
+                pl.BlockSpec((1, bh, w + 2, c),
+                             lambda ib, ih, ic: (ib, ih, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, w + 2, c),
+                             lambda ib, ih, ic: (ib, ih * bh + bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, w + 2, c),
+                             lambda ib, ih, ic: (ib, ih * bh + bh + 1, 0, 0),
+                             memory_space=pltpu.VMEM),
+                w_spec,
+                pl.BlockSpec((1, bc), lambda ib, ih, ic: (0, ic),
+                             memory_space=pltpu.VMEM),
+                b_spec,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xp.size + wk.size + out_bytes,
+                transcendentals=0,
+            ),
+            **common,
+        )(xp, xp, xp, wk, rescale, bb)
+        return out[..., :c_out] if co_pad else out
+
+    mode = halo
     if mode == "halo1":
         # single center read + two halo rows; block height 1 makes the
         # dim-1 block index a row index, so the index map addresses the

@@ -176,6 +176,40 @@ def _flash_kernel_int8(q_ref, k_ref, v_ref, qs_ref, ks_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
+def _flash_kernel_int8g(q_ref, k_ref, v_ref, rm_ref, o_ref, acc_ref, l_ref,
+                        *, fm2: float):
+    """GLOBAL-k-scale int8 QK^T variant (the int8-everything mode's kernel):
+    q arrives per-row int8, k under ONE global scale, and the whole rescale
+    + fixed-max softmax folds into a single column-broadcast FMA feeding
+    exp2: p = 2^(s_i32 * rm[i] - fm2) with rm[i] = qs[i]*ks*log2(e) and
+    fm2 = fixed_max*log2(e). One elementwise pass over the S^2 scores
+    (vs THREE for the exact per-row kernel: convert, qs[i] mult, ks[j]
+    mult) — this is the variant PERF_NOTES projects to actually pay on the
+    VPU side. Lossier than per-row k scales; gated behind the opt-in
+    int8-everything mode and its checkpoint-day PSNR validation."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s_i = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    p = jnp.exp2(s_i.astype(jnp.float32) * rm_ref[0] - fm2)
+
+    l_ref[:] = l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + pv
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
 def _quantize_rows(x: Array):
     """Per-row symmetric int8: (..., S, D) -> (int8 values, (..., S, 1) f32
     scales). Exact to rescale after a matmul since scales are per-row."""
@@ -209,7 +243,8 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
                     interpret: bool = False, qk_int8: bool = False,
                     fixed_max: float | None = 20.0,
                     pad_d: bool | None = None,
-                    exp2_fold: bool | None = None) -> Array:
+                    exp2_fold: bool | None = None,
+                    int8_global_k: bool = False) -> Array:
     """Module-flag defaults (pad_d, exp2_fold) are resolved HERE, outside
     jit, so set_pad_d_hbm/set_exp2_fold take effect without stale-cache
     surprises."""
@@ -220,18 +255,20 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
     return _flash_attention(q, k, v, scale, block_q=block_q,
                             block_kv=block_kv, interpret=interpret,
                             qk_int8=qk_int8, fixed_max=fixed_max,
-                            pad_d=pad_d, exp2_fold=exp2_fold)
+                            pad_d=pad_d, exp2_fold=exp2_fold,
+                            int8_global_k=int8_global_k)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",
                                              "interpret", "qk_int8",
                                              "fixed_max", "pad_d",
-                                             "exp2_fold"))
+                                             "exp2_fold", "int8_global_k"))
 def _flash_attention(q: Array, k: Array, v: Array, scale: float,
                      block_q: int = 512, block_kv: int = 4096,
                      interpret: bool = False, qk_int8: bool = False,
                      fixed_max: float | None = 20.0,
-                     pad_d: bool = True, exp2_fold: bool = True) -> Array:
+                     pad_d: bool = True, exp2_fold: bool = True,
+                     int8_global_k: bool = False) -> Array:
     """q: (B, H, Sq, D), k/v: (B, H, Sk, D) -> (B, H, Sq, D).
 
     fixed_max: static softmax shift (see _flash_kernel_fixed_max) — exact for
@@ -315,22 +352,47 @@ def _flash_attention(q: Array, k: Array, v: Array, scale: float,
                 "qk_int8=True has no running-max kernel; pass a numeric "
                 "fixed_max (the int8 path always uses the fixed-max softmax)")
         qi, qs = _quantize_rows(qp)          # (bh, sqp, dp) i8, (bh, sqp, 1)
-        ki, ks = _quantize_rows(kp)
-        qs = qs * scale                       # fold softmax scale into q rows
-        ks_t = jnp.transpose(ks, (0, 2, 1))   # (bh, 1, sk): lane dim = kv
-        out = pl.pallas_call(
-            functools.partial(_flash_kernel_int8, fixed_max=fixed_max),
-            in_specs=[
-                q_spec, k_spec, v_spec,
-                pl.BlockSpec((1, block_q, 1), lambda bh, iq, ik: (bh, iq, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_kv), lambda bh, iq, ik: (bh, 0, ik),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=o_spec,
-            scratch_shapes=[scratch[0], scratch[2]],
-            **common,
-        )(qi, ki, vp, qs, ks_t)
+        if int8_global_k:
+            # ONE global k scale: the rescale collapses to a per-q-row
+            # multiplier rm[i] = scale*qs[i]*ks*log2e feeding exp2 (see
+            # _flash_kernel_int8g). Lossier; int8-everything mode only.
+            ka = jnp.maximum(jnp.max(jnp.abs(kp.astype(jnp.float32))),
+                             1e-20) / 127.0
+            ki = jnp.clip(jnp.round(kp.astype(jnp.float32) / ka),
+                          -127, 127).astype(jnp.int8)
+            rm = (qs * (scale * LOG2E) * ka).astype(jnp.float32)
+            out = pl.pallas_call(
+                functools.partial(_flash_kernel_int8g,
+                                  fm2=fixed_max * LOG2E),
+                in_specs=[
+                    q_spec, k_spec, v_spec,
+                    pl.BlockSpec((1, block_q, 1),
+                                 lambda bh, iq, ik: (bh, iq, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=o_spec,
+                scratch_shapes=[scratch[0], scratch[2]],
+                **common,
+            )(qi, ki, vp, rm)
+        else:
+            ki, ks = _quantize_rows(kp)
+            qs = qs * scale                   # fold softmax scale into q rows
+            ks_t = jnp.transpose(ks, (0, 2, 1))  # (bh, 1, sk): lane dim = kv
+            out = pl.pallas_call(
+                functools.partial(_flash_kernel_int8, fixed_max=fixed_max),
+                in_specs=[
+                    q_spec, k_spec, v_spec,
+                    pl.BlockSpec((1, block_q, 1),
+                                 lambda bh, iq, ik: (bh, iq, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_kv),
+                                 lambda bh, iq, ik: (bh, 0, ik),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=o_spec,
+                scratch_shapes=[scratch[0], scratch[2]],
+                **common,
+            )(qi, ki, vp, qs, ks_t)
     elif exp2_fold:
         out = pl.pallas_call(
             _flash_kernel_fixed_max2,

@@ -44,6 +44,49 @@ def test_conv3x3_halo1_matches_views3(b, h, w, c, co):
     assert rel < 1e-5, rel
 
 
+def test_conv3x3_int8_exact_quantized_math():
+    """Opt-in int8 path == an explicit numpy int8 reference (exact integer
+    accumulation, global x scale + per-Co weight scales)."""
+    b, h, w, c, co = 1, 6, 10, 64, 128
+    x = RNG.randn(b, h, w, c).astype(np.float32)
+    k = (RNG.randn(3, 3, c, co) * 0.05).astype(np.float32)
+    bias = RNG.randn(co).astype(np.float32)
+
+    xs = max(np.abs(x).max(), 1e-20) / 127.0
+    xq = np.clip(np.round(x / xs), -127, 127)
+    ws = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-20) / 127.0
+    kq = np.clip(np.round(k / ws), -127, 127)
+    import jax.numpy as jnp2
+    ref = np.asarray(layers.conv2d(
+        {"kernel": jnp2.asarray(kq), "bias": jnp2.zeros((co,))},
+        jnp2.asarray(xq), padding=1))
+    ref = ref * (xs * ws) + bias
+
+    got = conv3x3(jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias),
+                  interpret=True, int8=True)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+
+    # and the quantization drift vs the exact conv stays small on smooth data
+    exact = np.asarray(layers.conv2d({"kernel": jnp.asarray(k),
+                                      "bias": jnp.asarray(bias)},
+                                     jnp.asarray(x), padding=1))
+    rel = np.abs(np.asarray(got) - exact).max() / np.abs(exact).max()
+    assert rel < 0.02, rel
+
+
+def test_conv3x3_int8_wide_contraction_split():
+    """int8 + the VMEM-driven channel split: halves quantize independently."""
+    b, h, w, c, co = 1, 4, 8, 2560, 128
+    x = RNG.randn(b, h, w, c).astype(np.float32) * 0.3
+    k = (RNG.randn(3, 3, c, co) * 0.02).astype(np.float32)
+    exact = np.asarray(layers.conv2d({"kernel": jnp.asarray(k)},
+                                     jnp.asarray(x), padding=1))
+    got = np.asarray(conv3x3(jnp.asarray(x), jnp.asarray(k), None,
+                             interpret=True, int8=True))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 0.02, rel
+
+
 def test_conv3x3_fused_silu_prologue():
     """conv3x3(silu(x*a+s)) == explicit chain, incl. zero-pad-after-activation
     semantics at the borders."""

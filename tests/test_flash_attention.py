@@ -117,6 +117,41 @@ def test_flash_int8_qk_bounded_drift(b, h, s, d):
     assert 0.0 < rel < 0.03, rel
 
 
+def test_flash_int8_global_k_exact_quantized_math():
+    """int8_global_k kernel == an explicit numpy reference of the SAME
+    quantized math (per-row q scales, one global k scale, softmax over the
+    rescaled int32 scores) — the kernel's exp2/fixed-max folding must be
+    exactly equivalent to that softmax."""
+    b, h, s, d = 1, 2, 256, 40
+    q = RNG.randn(b, h, s, d).astype(np.float32)
+    k = RNG.randn(b, h, s, d).astype(np.float32)
+    v = RNG.randn(b, h, s, d).astype(np.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    qs = np.maximum(np.abs(q).max(axis=-1, keepdims=True), 1e-20) / 127.0
+    qi = np.clip(np.round(q / qs), -127, 127)
+    ka = max(np.abs(k).max(), 1e-20) / 127.0
+    ki = np.clip(np.round(k / ka), -127, 127)
+    s_i = np.einsum("bhqd,bhkd->bhqk", qi, ki)
+    logits = s_i * qs * ka * scale
+    p = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    ref = np.einsum("bhqk,bhkd->bhqd", p / p.sum(-1, keepdims=True), v)
+
+    got = np.asarray(fa.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        block_q=128, block_kv=128, interpret=True, qk_int8=True,
+        int8_global_k=True))
+    assert_close(got, ref.astype(np.float32), atol=2e-5, rtol=1e-4,
+                 name="flash_int8_global_k")
+
+    # and bounded drift vs the exact fp path
+    exact = np.asarray(fa.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        block_q=128, block_kv=128, interpret=True))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert 0.0 < rel < 0.05, rel
+
+
 def test_int8_quantize_rows_roundtrip():
     x = jnp.asarray(RNG.randn(2, 3, 64, 40).astype(np.float32)) * 3.7
     qi, qs = fa._quantize_rows(x)
