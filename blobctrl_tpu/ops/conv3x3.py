@@ -46,6 +46,16 @@ _HALO_MODE = "halo1"
 # scales, int32 MXU accumulation): ~2x MXU rate, LOSSY — part of the
 # int8-everything mode to be gated on outside-mask PSNR with real weights.
 _CONV_INT8 = False
+# Activation-scale policy for the int8 path. A STATIC amax (activations
+# assumed in [-amax, amax]; values beyond saturate) lets XLA fuse the
+# quantize into the producing fusion (GN+SiLU prologue) with NO extra pass;
+# the dynamic per-call max-abs alternative (act_amax=None) was measured to
+# EAT the whole int8 win in extra reduce/convert passes (~10-15 ms/step:
+# convert_reduce 5.3 + clamp/slice/copy ~6 + abs_reduce 0.8 per step) —
+# same spirit as the flash kernel's fixed-max softmax. 12.0 comfortably
+# covers post-GN+SiLU ranges; validate on checkpoint day with
+# `replay --all --score --int8`.
+_CONV_INT8_ACT_AMAX: float | None = 12.0
 
 
 def set_halo_mode(mode: str):
@@ -54,9 +64,13 @@ def set_halo_mode(mode: str):
     _HALO_MODE = mode
 
 
-def set_conv_int8(flag: bool):
-    global _CONV_INT8
+def set_conv_int8(flag: bool, act_amax: float | None = "unset"):
+    """Toggle the int8 conv path; optionally set the static activation amax
+    (None = dynamic per-call max-abs, measured slower)."""
+    global _CONV_INT8, _CONV_INT8_ACT_AMAX
     _CONV_INT8 = bool(flag)
+    if act_amax != "unset":
+        _CONV_INT8_ACT_AMAX = act_amax
 
 
 def _conv3x3_kernel_halo(x_ref, h1_ref, h2_ref, w_ref, b_ref, o_ref, acc_ref):
@@ -141,7 +155,8 @@ def _pick_row_block(h: int, w: int, c: int) -> int:
 def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
             scale: Array | None = None, shift: Array | None = None,
             interpret: bool = False, halo: str | None = None,
-            int8: bool | None = None) -> Array:
+            int8: bool | None = None,
+            act_amax: float | None = "unset") -> Array:
     """3x3 stride-1 same-conv. x: (B, H, W, C) NHWC; kernel: (3, 3, C, Co)
     HWIO; bias: (Co,).
 
@@ -157,15 +172,18 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         halo = _HALO_MODE
     if int8 is None:
         int8 = _CONV_INT8
+    if act_amax == "unset":
+        act_amax = _CONV_INT8_ACT_AMAX
     return _conv3x3(x, kernel, bias, scale, shift, interpret=interpret,
-                    halo=halo, int8=int8)
+                    halo=halo, int8=int8, act_amax=act_amax)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "halo", "int8"))
+@functools.partial(jax.jit, static_argnames=("interpret", "halo", "int8",
+                                             "act_amax"))
 def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
              scale: Array | None = None, shift: Array | None = None,
              interpret: bool = False, halo: str = "halo1",
-             int8: bool = False) -> Array:
+             int8: bool = False, act_amax: float | None = None) -> Array:
     b, h, w, c = x.shape
     c_out = kernel.shape[-1]
 
@@ -199,9 +217,11 @@ def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         half = min((c // 2 + 127) // 128 * 128, c - 128)
         # int8 recursion: each half quantizes under its own global scale
         y0 = _conv3x3(x[..., :half], kernel[:, :, :half], bias,
-                      interpret=interpret, halo=halo, int8=int8)
+                      interpret=interpret, halo=halo, int8=int8,
+                      act_amax=act_amax)
         y1 = _conv3x3(x[..., half:], kernel[:, :, half:], None,
-                      interpret=interpret, halo=halo, int8=int8)
+                      interpret=interpret, halo=halo, int8=int8,
+                      act_amax=act_amax)
         return y0 + y1
 
     out_dtype = x.dtype
@@ -210,7 +230,13 @@ def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         # ONE global activation scale (per-row scales cannot factor out of
         # the 9-tap sum: each output pixel mixes 9 differently-scaled input
         # rows) + per-output-channel weight scales. LOSSY — opt-in.
-        xs = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-20) / 127.0
+        # Static act_amax: no max-abs pass; the quantize fuses into the
+        # producer (prologue) and out-of-range values saturate.
+        if act_amax is not None:
+            xs = jnp.asarray(act_amax / 127.0, jnp.float32)
+        else:
+            xs = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))),
+                             1e-20) / 127.0
         x = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
                      -127, 127).astype(jnp.int8)
         wf = kernel.reshape(9, c, c_out).astype(jnp.float32)

@@ -44,15 +44,18 @@ def test_conv3x3_halo1_matches_views3(b, h, w, c, co):
     assert rel < 1e-5, rel
 
 
-def test_conv3x3_int8_exact_quantized_math():
+@pytest.mark.parametrize("amax", [None, 6.0])
+def test_conv3x3_int8_exact_quantized_math(amax):
     """Opt-in int8 path == an explicit numpy int8 reference (exact integer
-    accumulation, global x scale + per-Co weight scales)."""
+    accumulation, global x scale + per-Co weight scales), for BOTH the
+    static-amax (production default) and dynamic activation-scale policies."""
     b, h, w, c, co = 1, 6, 10, 64, 128
     x = RNG.randn(b, h, w, c).astype(np.float32)
     k = (RNG.randn(3, 3, c, co) * 0.05).astype(np.float32)
     bias = RNG.randn(co).astype(np.float32)
 
-    xs = max(np.abs(x).max(), 1e-20) / 127.0
+    xs = (amax / 127.0) if amax is not None \
+        else max(np.abs(x).max(), 1e-20) / 127.0
     xq = np.clip(np.round(x / xs), -127, 127)
     ws = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-20) / 127.0
     kq = np.clip(np.round(k / ws), -127, 127)
@@ -63,7 +66,7 @@ def test_conv3x3_int8_exact_quantized_math():
     ref = ref * (xs * ws) + bias
 
     got = conv3x3(jnp.asarray(x), jnp.asarray(k), jnp.asarray(bias),
-                  interpret=True, int8=True)
+                  interpret=True, int8=True, act_amax=amax)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
 
     # and the quantization drift vs the exact conv stays small on smooth data
@@ -71,18 +74,31 @@ def test_conv3x3_int8_exact_quantized_math():
                                       "bias": jnp.asarray(bias)},
                                      jnp.asarray(x), padding=1))
     rel = np.abs(np.asarray(got) - exact).max() / np.abs(exact).max()
-    assert rel < 0.02, rel
+    assert rel < (0.05 if amax is not None else 0.02), rel
+
+
+def test_conv3x3_int8_static_amax_saturates():
+    """Static-amax policy: out-of-range activations saturate to +-amax
+    instead of wrapping."""
+    x = np.zeros((1, 4, 8, 128), np.float32)
+    x[0, 1, 3, 5] = 50.0  # far beyond amax=6
+    k = np.zeros((3, 3, 128, 128), np.float32)
+    k[1, 1, 5, 0] = 1.0   # center tap passthrough
+    got = np.asarray(conv3x3(jnp.asarray(x), jnp.asarray(k), None,
+                             interpret=True, int8=True, act_amax=6.0))
+    np.testing.assert_allclose(got[0, 1, 3, 0], 6.0, rtol=1e-5)
 
 
 def test_conv3x3_int8_wide_contraction_split():
-    """int8 + the VMEM-driven channel split: halves quantize independently."""
+    """int8 + the VMEM-driven channel split: halves quantize independently
+    (dynamic scales here, so each half's scale adapts to its data)."""
     b, h, w, c, co = 1, 4, 8, 2560, 128
     x = RNG.randn(b, h, w, c).astype(np.float32) * 0.3
     k = (RNG.randn(3, 3, c, co) * 0.02).astype(np.float32)
     exact = np.asarray(layers.conv2d({"kernel": jnp.asarray(k)},
                                      jnp.asarray(x), padding=1))
     got = np.asarray(conv3x3(jnp.asarray(x), jnp.asarray(k), None,
-                             interpret=True, int8=True))
+                             interpret=True, int8=True, act_amax=None))
     rel = np.abs(got - exact).max() / np.abs(exact).max()
     assert rel < 0.02, rel
 
