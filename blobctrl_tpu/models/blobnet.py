@@ -98,6 +98,58 @@ def init_blobnet(key, cfg: BlobNetConfig):
     return params
 
 
+def from_unet(unet_params, cfg: BlobNetConfig, key=None):
+    """Training-time init: clone SD UNet weights into a fresh BlobNet
+    (reference BlobNetModel.from_unet, blobnet.py:493-572).
+
+    - conv_in's kernel is zero-padded over the extra conditioning input
+      channels; the UNet's input channels copy into the first slots and the
+      bias copies whole (:550-554).
+    - Time embedding and all down/mid/up block weights copy over (:556-570).
+      The reference uses load_state_dict(strict=False) there because the
+      UNet's cross-attention (attn2/norm2) and output head have no BlobNet
+      counterpart (cross_attention_dim=None builds no second attention,
+      :517) — here the walk follows the BlobNet structure, so those UNet
+      extras are skipped and any BlobNet weight WITHOUT a matching UNet
+      source raises (the reference's ``len(missing) == 0`` assert).
+    - The zero taps keep their zero init (zero_module, :959-962).
+    """
+    init = init_blobnet(key if key is not None else jax.random.PRNGKey(0),
+                        cfg)
+
+    def copy(dst, src, path):
+        name = "/".join(map(str, path))
+        if isinstance(dst, dict):
+            out = {}
+            for k, v in dst.items():
+                if k in ("zero_down", "zero_mid", "zero_up"):
+                    out[k] = v
+                    continue
+                if k not in src:
+                    raise ValueError(f"UNet params missing {name}/{k}")
+                out[k] = copy(v, src[k], path + (k,))
+            return out
+        if isinstance(dst, list):
+            if len(src) != len(dst):
+                raise ValueError(
+                    f"{name}: {len(dst)} BlobNet entries vs {len(src)} UNet")
+            return [copy(d, s, path + (i,))
+                    for i, (d, s) in enumerate(zip(dst, src))]
+        src = jnp.asarray(src)
+        if path == ("conv_in", "kernel"):
+            if src.shape[2] > dst.shape[2] or src.shape[:2] + src.shape[3:] \
+                    != dst.shape[:2] + dst.shape[3:]:
+                raise ValueError(
+                    f"conv_in: UNet {src.shape} does not embed in {dst.shape}")
+            return jnp.zeros_like(dst).at[:, :, :src.shape[2], :].set(
+                src.astype(dst.dtype))
+        if src.shape != dst.shape:
+            raise ValueError(f"{name}: UNet {src.shape} != BlobNet {dst.shape}")
+        return src.astype(dst.dtype)
+
+    return copy(init, unet_params, ())
+
+
 def num_residuals(cfg: BlobNetConfig) -> Tuple[int, int, int]:
     n, lpb = len(cfg.block_out_channels), cfg.layers_per_block
     down = 1 + n * lpb + (n - 1)

@@ -60,9 +60,13 @@ def _route_conv(x: Array):
 def _conv3x3_maybe_fused(conv_params, x: Array, scale=None, shift=None,
                          interpret: bool = False) -> Array:
     from blobctrl_tpu.ops import conv3x3 as conv3x3_op
+    # kernel_q/w_scale appear when the tree went through quantize_conv_tree
+    # (int8 mode); conv3x3 ignores them unless the int8 path is active
     return conv3x3_op.conv3x3(x, conv_params["kernel"],
                               conv_params.get("bias"),
-                              scale=scale, shift=shift, interpret=interpret)
+                              scale=scale, shift=shift, interpret=interpret,
+                              kernel_q=conv_params.get("kernel_q"),
+                              w_scale=conv_params.get("w_scale"))
 
 
 def conv3x3_routed(conv_params, x: Array) -> Array:

@@ -73,6 +73,72 @@ def set_conv_int8(flag: bool, act_amax: float | None = "unset"):
         _CONV_INT8_ACT_AMAX = act_amax
 
 
+def conv_int8_enabled() -> bool:
+    return _CONV_INT8
+
+
+def _quantize_kernel_i8(kern: Array) -> tuple[Array, Array]:
+    """(3,3,C,Co) kernel -> (int8 kernel, (Co,) f32 weight scales) — the
+    same per-output-channel symmetric quantization the in-graph path uses."""
+    wf = kern.astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-20) / 127.0
+    wq = jnp.clip(jnp.round(wf / ws), -127, 127).astype(jnp.int8)
+    return wq, ws
+
+
+def quantize_conv_tree(params):
+    """Pre-quantize every 3x3 conv kernel in a param tree for the int8 conv
+    path: adds ``kernel_q`` (int8) and ``w_scale`` ((Co,) f32) beside each
+    (3,3,C,Co) ``kernel``. Idempotent; non-conv leaves are returned as-is
+    (same objects — only the quantized tensors are new device buffers).
+
+    Why: quantizing weights in-graph puts the abs-max reduce + round/clip +
+    int8 materialization INSIDE the 50-step denoise loop (XLA does not hoist
+    them out of lax.fori_loop) — measured as several ms/step of abs_reduce/
+    multiply/slice_convert buckets. Pre-quantizing once also halves the
+    kernel HBM reads vs bf16. Stride-2 downsample convs match the shape
+    filter too and carry unused (small) extra leaves — harmless.
+
+    Note: pre-quantized scales span the FULL input-channel range; the
+    VMEM-driven wide-contraction split then shares one scale across both
+    halves (the in-graph path gives each half its own, slightly finer,
+    scale). Both are exact int8 math, just different quantization grids.
+    """
+    kernels = {}
+
+    def collect(p, path):
+        if isinstance(p, dict):
+            k = p.get("kernel", None)
+            if (getattr(k, "ndim", 0) == 4 and k.shape[0] == 3
+                    and k.shape[1] == 3 and "kernel_q" not in p):
+                kernels[path] = k
+            for name, v in p.items():
+                collect(v, path + (name,))
+        elif isinstance(p, (list, tuple)):
+            for i, v in enumerate(p):
+                collect(v, path + (i,))
+
+    collect(params, ())
+    if not kernels:
+        return params
+    qs = jax.jit(lambda ks: {p: _quantize_kernel_i8(k)
+                             for p, k in ks.items()})(kernels)
+
+    def rebuild(p, path):
+        if isinstance(p, dict):
+            out = {k: rebuild(v, path + (k,)) for k, v in p.items()}
+            if path in qs:
+                out["kernel_q"], out["w_scale"] = qs[path]
+            return out
+        if isinstance(p, list):
+            return [rebuild(v, path + (i,)) for i, v in enumerate(p)]
+        if isinstance(p, tuple):
+            return tuple(rebuild(v, path + (i,)) for i, v in enumerate(p))
+        return p
+
+    return rebuild(params, ())
+
+
 def _conv3x3_kernel_halo(x_ref, h1_ref, h2_ref, w_ref, b_ref, o_ref, acc_ref):
     # x_ref: (1, BH, W+2, C) = padded rows [ih*BH, ih*BH+BH); h1/h2_ref:
     # (1, 1, W+2, C) = the two halo rows below the block. Tap row dh uses
@@ -156,7 +222,9 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
             scale: Array | None = None, shift: Array | None = None,
             interpret: bool = False, halo: str | None = None,
             int8: bool | None = None,
-            act_amax: float | None = "unset") -> Array:
+            act_amax: float | None = "unset",
+            kernel_q: Array | None = None,
+            w_scale: Array | None = None) -> Array:
     """3x3 stride-1 same-conv. x: (B, H, W, C) NHWC; kernel: (3, 3, C, Co)
     HWIO; bias: (Co,).
 
@@ -164,6 +232,10 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
     conv3x3(silu(x * scale + shift)) with conv zero-padding applied after the
     activation (the fused resnet prologue; GroupNorm statistics are folded
     into scale/shift by the caller).
+
+    kernel_q/w_scale: pre-quantized int8 weights from quantize_conv_tree;
+    used only when the int8 path is active (skips the per-call weight
+    quantization, which otherwise runs inside the denoise loop every step).
 
     Module-flag defaults (halo, int8) resolve HERE, outside jit, so the
     set_* toggles take effect without stale-cache surprises.
@@ -174,8 +246,11 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         int8 = _CONV_INT8
     if act_amax == "unset":
         act_amax = _CONV_INT8_ACT_AMAX
+    if not int8:
+        kernel_q = w_scale = None
     return _conv3x3(x, kernel, bias, scale, shift, interpret=interpret,
-                    halo=halo, int8=int8, act_amax=act_amax)
+                    halo=halo, int8=int8, act_amax=act_amax,
+                    kernel_q=kernel_q, w_scale=w_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "halo", "int8",
@@ -183,7 +258,9 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
 def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
              scale: Array | None = None, shift: Array | None = None,
              interpret: bool = False, halo: str = "halo1",
-             int8: bool = False, act_amax: float | None = None) -> Array:
+             int8: bool = False, act_amax: float | None = None,
+             kernel_q: Array | None = None,
+             w_scale: Array | None = None) -> Array:
     b, h, w, c = x.shape
     c_out = kernel.shape[-1]
 
@@ -215,13 +292,19 @@ def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         # lane-aligned first chunk; works for odd widths too (1029-ch
         # BlobNet conv_in)
         half = min((c // 2 + 127) // 128 * 128, c - 128)
-        # int8 recursion: each half quantizes under its own global scale
+        # int8 recursion: with in-graph quantization each half quantizes
+        # under its own scales; pre-quantized halves share the full-range
+        # scales (sliced along C — exact partial-sum math either way)
         y0 = _conv3x3(x[..., :half], kernel[:, :, :half], bias,
                       interpret=interpret, halo=halo, int8=int8,
-                      act_amax=act_amax)
+                      act_amax=act_amax,
+                      kernel_q=None if kernel_q is None
+                      else kernel_q[:, :, :half], w_scale=w_scale)
         y1 = _conv3x3(x[..., half:], kernel[:, :, half:], None,
                       interpret=interpret, halo=halo, int8=int8,
-                      act_amax=act_amax)
+                      act_amax=act_amax,
+                      kernel_q=None if kernel_q is None
+                      else kernel_q[:, :, half:], w_scale=w_scale)
         return y0 + y1
 
     out_dtype = x.dtype
@@ -239,10 +322,13 @@ def _conv3x3(x: Array, kernel: Array, bias: Array | None = None,
                              1e-20) / 127.0
         x = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
                      -127, 127).astype(jnp.int8)
-        wf = kernel.reshape(9, c, c_out).astype(jnp.float32)
-        ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1)), 1e-20) / 127.0
-        wq = jnp.clip(jnp.round(wf / ws[None, None]),
-                      -127, 127).astype(jnp.int8)
+        if kernel_q is not None:
+            wq, ws = kernel_q.reshape(9, c, c_out), w_scale
+        else:
+            wf = kernel.reshape(9, c, c_out).astype(jnp.float32)
+            ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1)), 1e-20) / 127.0
+            wq = jnp.clip(jnp.round(wf / ws[None, None]),
+                          -127, 127).astype(jnp.int8)
         rescale = xs * ws  # (Co,) f32
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -214,12 +214,32 @@ class BlobNetPipeline:
             setattr(self, name, fn)
         return fn
 
+    def _conv_params(self, name: str):
+        """Param tree for ``name``, augmented with pre-quantized int8 conv
+        weights (kernel_q/w_scale) when the opt-in int8 conv mode is on.
+        Quantized ONCE per tree and cached by identity — the in-graph
+        alternative requantizes every denoise step (XLA does not hoist the
+        abs-max/round/convert chain out of lax.fori_loop). self.*_params
+        stay unaugmented (checkpoints, exports, sharding see bf16 only)."""
+        from blobctrl_tpu.ops import conv3x3 as conv_mod
+        p = getattr(self, name)
+        if p is None or not conv_mod.conv_int8_enabled():
+            return p
+        cache = getattr(self, "_int8_param_cache", None)
+        if cache is None:
+            cache = self._int8_param_cache = {}
+        ent = cache.get(name)
+        if ent is None or ent[0] is not p:
+            ent = (p, conv_mod.quantize_conv_tree(p))
+            cache[name] = ent
+        return ent[1]
+
     def _encode_image(self, image: Array) -> Array:
         """VAE encode to scaled latents, deterministic (distribution mode)."""
         fn = self._lazy_jit("_encode_image_fn", lambda:
                             lambda params, img: vae_lib.encode_to_scaled_latents(
                                 params, self.vae_cfg, img.astype(self.dtype)))
-        return fn(self.vae_params, image)
+        return fn(self._conv_params("vae_params"), image)
 
     def _decode_latents(self, latents: Array) -> Array:
         fn = self._lazy_jit("_decode_latents_fn", lambda:
@@ -227,7 +247,7 @@ class BlobNetPipeline:
                                 vae_lib.decode_from_scaled_latents(
                                     params, self.vae_cfg, lat.astype(self.dtype)
                                 ).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
-        return fn(self.vae_params, latents)
+        return fn(self._conv_params("vae_params"), latents)
 
     def _encode_dino(self, pixel_values: Array) -> Array:
         fn = self._lazy_jit("_encode_dino_fn", lambda:
@@ -662,7 +682,9 @@ class BlobNetPipeline:
         edit, sched = self._get_edit_fn(scheduler, num_inference_steps,
                                         do_cfg, use_blobnet, encoder_cache,
                                         decode=output_type != "latent")
-        out = edit(self.unet_params, self.blobnet_params, self.vae_params,
+        out = edit(self._conv_params("unet_params"),
+                   self._conv_params("blobnet_params"),
+                   self._conv_params("vae_params"),
                    fg, bg, gs, pooled, pe, latents,
                    jnp.asarray(cond_scales),
                    jnp.asarray(float(guidance_scale), jnp.float32),

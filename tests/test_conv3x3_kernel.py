@@ -194,3 +194,74 @@ def test_conv3x3_odd_wide_contraction_1029ch():
     got = conv3x3(x, k, bias, interpret=True)
     rel = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
     assert rel < 1e-5, rel
+
+
+def test_quantize_conv_tree_structure():
+    """quantize_conv_tree adds kernel_q/w_scale beside 3x3 conv kernels
+    only (not 1x1 convs, not linear kernels), reuses non-conv leaves, and
+    is idempotent."""
+    from blobctrl_tpu.ops import conv3x3 as conv_mod
+    k33 = jnp.asarray(RNG.randn(3, 3, 8, 16) * 0.1, jnp.float32)
+    k11 = jnp.asarray(RNG.randn(1, 1, 8, 16), jnp.float32)
+    klin = jnp.asarray(RNG.randn(8, 16), jnp.float32)
+    tree = {"conv1": {"kernel": k33, "bias": jnp.zeros((16,))},
+            "shortcut": {"kernel": k11},
+            "proj": {"kernel": klin},
+            "blocks": [{"conv": {"kernel": k33}}]}
+    q = conv_mod.quantize_conv_tree(tree)
+    assert set(q["conv1"]) == {"kernel", "bias", "kernel_q", "w_scale"}
+    assert q["conv1"]["kernel_q"].dtype == jnp.int8
+    assert q["conv1"]["kernel_q"].shape == (3, 3, 8, 16)
+    assert q["conv1"]["w_scale"].shape == (16,)
+    assert set(q["shortcut"]) == {"kernel"}
+    assert set(q["proj"]) == {"kernel"}
+    assert "kernel_q" in q["blocks"][0]["conv"]
+    assert q["conv1"]["kernel"] is k33  # original leaves pass through
+    q2 = conv_mod.quantize_conv_tree(q)  # idempotent
+    assert q2["conv1"]["kernel_q"] is q["conv1"]["kernel_q"]
+
+
+@pytest.mark.parametrize("amax", [None, 6.0])
+def test_conv3x3_prequantized_matches_int8_reference(amax):
+    """Pre-quantized kernel_q/w_scale reproduce the explicit numpy int8
+    reference (exact integer accumulation under the SAME wq/ws). Bit-equality
+    vs the in-graph weight quantization is NOT asserted: XLA may compile the
+    w/ws divide as a reciprocal multiply in one graph and not the other,
+    flipping weights at rounding ties by one int8 step."""
+    from blobctrl_tpu.ops import conv3x3 as conv_mod
+    b, h, w, c, co = 1, 6, 10, 64, 128
+    x = RNG.randn(b, h, w, c).astype(np.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.05, jnp.float32)
+    bias = RNG.randn(co).astype(np.float32)
+    wq, ws = conv_mod._quantize_kernel_i8(k)
+    wq_np, ws_np = np.asarray(wq, np.int64), np.asarray(ws)
+
+    xs = (amax / 127.0) if amax is not None \
+        else max(np.abs(x).max(), 1e-20) / 127.0
+    xq = np.clip(np.round(x / xs), -127, 127)
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ref = np.zeros((b, h, w, co))
+    for dh in range(3):
+        for dw in range(3):
+            ref += np.einsum("bhwc,cd->bhwd",
+                             xp[:, dh:dh + h, dw:dw + w, :], wq_np[dh, dw])
+    ref = ref * (xs * ws_np) + bias
+
+    got = conv3x3(jnp.asarray(x), k, jnp.asarray(bias), interpret=True,
+                  int8=True, act_amax=amax, kernel_q=wq, w_scale=ws)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_prequantized_wide_split_drift():
+    """Pre-quantized weights through the VMEM channel split (shared scales
+    across halves) stay within the int8 drift bound."""
+    from blobctrl_tpu.ops import conv3x3 as conv_mod
+    b, h, w, c, co = 1, 4, 8, 2560, 128
+    x = jnp.asarray(RNG.randn(b, h, w, c) * 0.3, jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.02, jnp.float32)
+    wq, ws = conv_mod._quantize_kernel_i8(k)
+    exact = np.asarray(layers.conv2d({"kernel": k}, x, padding=1))
+    got = np.asarray(conv3x3(x, k, None, interpret=True, int8=True,
+                             act_amax=None, kernel_q=wq, w_scale=ws))
+    rel = np.abs(got - exact).max() / np.abs(exact).max()
+    assert rel < 0.02, rel

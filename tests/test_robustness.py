@@ -237,3 +237,42 @@ def test_dpm_scheduler_variants_run_e2e(tiny):
     assert np.abs(outs["dpm"] - outs["dpm_sde"]).max() > 1e-4
     with pytest.raises(ValueError, match="dpm variant"):
         pipe(scheduler="dpm_bogus", **kw)
+
+
+@pytest.mark.slow
+def test_int8_conv_mode_prequantized_pipeline(tiny):
+    """The opt-in int8 conv mode through the full pipeline: the edit runs
+    under pre-quantized weights (quantize_conv_tree applied ONCE per tree
+    and cached by identity — never inside the denoise loop), output stays
+    finite and close to the exact-path edit at tiny scale."""
+    from blobctrl_tpu.nn import resnet
+    from blobctrl_tpu.ops import conv3x3 as conv_mod
+
+    exact = _run(tiny, 64, 64)
+    resnet.set_conv_backend("interpret")
+    conv_mod.set_conv_int8(True)
+    try:
+        rng = np.random.RandomState(0)
+        pipe = BlobNetPipeline(**tiny)
+        fg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        bg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+        kw = dict(fg_image=fg, bg_image=bg, gs_score=gs, height=64, width=64,
+                  num_inference_steps=2, guidance_scale=7.5,
+                  prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+                  negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+                  seed=1, fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+        out = pipe(**kw).images
+        assert np.isfinite(out).all()
+        # the augmented trees were built and cached by identity
+        cache = pipe._int8_param_cache
+        assert set(cache) == {"unet_params", "blobnet_params", "vae_params"}
+        ids = {k: id(v[1]) for k, v in cache.items()}
+        pipe(**kw)
+        assert {k: id(v[1]) for k, v in pipe._int8_param_cache.items()} == ids
+        # tiny-scale drift vs the exact path stays bounded (uint8 images)
+        assert np.abs(out.astype(np.float32)
+                      - exact.astype(np.float32)).mean() < 0.08
+    finally:
+        conv_mod.set_conv_int8(False)
+        resnet.set_conv_backend("auto")

@@ -169,6 +169,52 @@ def test_tiny_blobnet_parity():
                      rtol=2e-3, name=f"blobnet_up[{i}]")
 
 
+def test_blobnet_from_unet_matches_reference():
+    """from_unet clones UNet weights exactly like the reference
+    BlobNetModel.from_unet (blobnet.py:493-572): conv_in kernel zero-padded
+    over the extra conditioning channels (bias copied whole), time embedding
+    and every down/mid/up block weight copied, zero taps left at zero —
+    verified leaf-for-leaf against the torch oracle's resulting state."""
+    ref_mod = _load_reference_blobnet_module()
+    tunet = tiny_torch_unet()
+    with torch.no_grad():
+        tblob = ref_mod.BlobNetModel.from_unet(tunet, conditioning_channels=2)
+    ref_params = convert.convert_unet(tblob.state_dict())
+
+    cfg = blobnet_lib.BlobNetConfig(
+        in_channels=4, conditioning_channels=2,
+        block_out_channels=(8, 16),
+        down_block_has_attn=(True, False),
+        up_block_has_attn=(False, True),
+        layers_per_block=2, cross_attention_dim=None,
+        num_heads=2, norm_num_groups=4)
+    got = blobnet_lib.from_unet(convert.convert_unet(tunet.state_dict()), cfg)
+
+    ref_leaves, ref_treedef = jax.tree_util.tree_flatten_with_path(ref_params)
+    got_leaves, got_treedef = jax.tree_util.tree_flatten_with_path(got)
+    assert ref_treedef == got_treedef
+    for (rp, r), (_, g) in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-6,
+            err_msg=jax.tree_util.keystr(rp))
+    # the taps really are zero (non-trivially: time emb is not)
+    assert np.asarray(got["zero_mid"]["kernel"]).any() == False
+    assert np.abs(np.asarray(
+        got["time_embedding"]["linear_1"]["kernel"])).max() > 0
+
+    # a BlobNet weight without a UNet source must raise (the reference's
+    # len(missing)==0 assert), e.g. a deeper BlobNet than the UNet
+    deeper = blobnet_lib.BlobNetConfig(
+        in_channels=4, conditioning_channels=2,
+        block_out_channels=(8, 16),
+        down_block_has_attn=(True, False),
+        up_block_has_attn=(False, True),
+        layers_per_block=3, cross_attention_dim=None,
+        num_heads=2, norm_num_groups=4)
+    with pytest.raises(ValueError):
+        blobnet_lib.from_unet(convert.convert_unet(tunet.state_dict()), deeper)
+
+
 @pytest.mark.slow
 def test_four_level_sd_structure_parity():
     """Full SD-1.5 block topology (4 levels, 3 CrossAttn + 1 plain down,
