@@ -25,11 +25,18 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+_UNROLL_M = 8  # static unroll below this; lax loops above (O(1) code size)
+
+
 def _splat_kernel(params_ref, out_ref, scores_scratch, *, m: int, height: int,
                   width: int, blk_h: int):
     """params_ref: (M, 8) SMEM rows [cx_px, cy_px, inv_a, inv_bc, inv_d,
     gate, 0, 0] (centers pre-scaled to pixels, inverse covariance pre-divided
-    by the normalized grid scale). out_ref: (1, M+1, blk_h, W)."""
+    by the normalized grid scale). out_ref: (1, M+1, blk_h, W).
+
+    The per-blob loops unroll statically for the demo-scale M (fastest) but
+    switch to lax.fori_loop with dynamic scratch indexing past _UNROLL_M so
+    compile time and program size stay O(1) in M for many-blob scenes."""
     tile = pl.program_id(1)
     y0 = tile * blk_h
 
@@ -38,7 +45,7 @@ def _splat_kernel(params_ref, out_ref, scores_scratch, *, m: int, height: int,
            + y0 * 1.0)
 
     # compute raw scores per blob into scratch
-    for k in range(m):
+    def score(k):
         dx = (col - params_ref[0, k, 0]) * (1.0 / width)
         dy = (row - params_ref[0, k, 1]) * (1.0 / height)
         d2 = (params_ref[0, k, 2] * dx * dx + params_ref[0, k, 3] * dx * dy
@@ -49,11 +56,22 @@ def _splat_kernel(params_ref, out_ref, scores_scratch, *, m: int, height: int,
         scores_scratch[k] = s
 
     # back-to-front compositing: d_k = s_k * prod_{j>k}(1 - s_j)
-    tail = jnp.ones((blk_h, width), jnp.float32)
-    for k in range(m - 1, -1, -1):
+    def composite(k, tail):
         s = scores_scratch[k]
         out_ref[0, k + 1] = (s * tail).astype(out_ref.dtype)
-        tail = tail * (1.0 - s)
+        return tail * (1.0 - s)
+
+    ones = jnp.ones((blk_h, width), jnp.float32)
+    if m <= _UNROLL_M:
+        for k in range(m):
+            score(k)
+        tail = ones
+        for k in range(m - 1, -1, -1):
+            tail = composite(k, tail)
+    else:
+        jax.lax.fori_loop(0, m, lambda k, c: (score(k), c)[1], 0)
+        tail = jax.lax.fori_loop(
+            0, m, lambda i, tail: composite(m - 1 - i, tail), ones)
     out_ref[0, 0] = tail.astype(out_ref.dtype)  # bg layer: s_bg=1 => d_bg=tail
 
 

@@ -30,6 +30,7 @@ def random_blobs(n, m):
     (1, 1, (64, 128)),
     (2, 3, (128, 128)),
     (1, 5, (64, 256)),
+    (1, 11, (64, 128)),  # > _UNROLL_M: the lax.fori_loop many-blob path
 ])
 def test_splat_kernel_matches_reference_impl(n, m, hw):
     xs, ys, covs, sizes = random_blobs(n, m)
