@@ -90,6 +90,9 @@ def main():
     if os.environ.get("BENCH_INT8", "0") == "1":
         from blobctrl_tpu.nn import attention
         from blobctrl_tpu.ops import conv3x3 as conv_mod
+        # int8 linears (layers.set_linear_int8) measured NEUTRAL e2e
+        # (PERF_NOTES) — extra loss for no speed, so they stay out of the
+        # benched int8-everything bundle
         attention.set_attention_backend("auto", qk_int8=True,
                                         int8_global_k=True)
         conv_mod.set_conv_int8(True)

@@ -194,6 +194,8 @@ def main():
     args = p.parse_args()
 
     if args.int8:
+        # matches the benched int8-everything bundle (int8 linears stay out:
+        # measured neutral e2e — extra loss for no speed, PERF_NOTES)
         from blobctrl_tpu.nn import attention
         from blobctrl_tpu.ops import conv3x3 as conv_mod
         attention.set_attention_backend("auto", qk_int8=True,

@@ -169,17 +169,26 @@ def attention(params, x: Array, heads: int, context: Optional[Array] = None,
     if context is None and "bias" not in params["to_q"]:
         # self-attention: fuse the three projections into one matmul. The
         # weight concat is loop-invariant, so XLA hoists it out of the
-        # denoising fori_loop.
-        wq = params["to_q"]["kernel"]
-        wk = params["to_k"]["kernel"]
-        wv = params["to_v"]["kernel"]
-        w_qkv = jnp.concatenate([wq, wk, wv], axis=1)
-        if fuse:
-            from blobctrl_tpu.ops import ln_matmul as lnm
-            qkv = lnm.ln_matmul(x, norm["scale"], norm["bias"], w_qkv,
-                                interpret=_LN_MATMUL_FUSE == "interpret")
+        # denoising fori_loop (int8 mode concats the pre-quantized kernels
+        # + per-channel scales the same way).
+        if layers.linear_int8_enabled() and "kernel_q" in params["to_q"]:
+            w_qkv_q = jnp.concatenate([params[n]["kernel_q"]
+                                       for n in ("to_q", "to_k", "to_v")],
+                                      axis=1)
+            wsc = jnp.concatenate([params[n]["w_scale"]
+                                   for n in ("to_q", "to_k", "to_v")])
+            qkv = layers.matmul_i8(x, w_qkv_q, wsc, None, x.dtype)
         else:
-            qkv = jnp.dot(x, w_qkv.astype(x.dtype))
+            wq = params["to_q"]["kernel"]
+            wk = params["to_k"]["kernel"]
+            wv = params["to_v"]["kernel"]
+            w_qkv = jnp.concatenate([wq, wk, wv], axis=1)
+            if fuse:
+                from blobctrl_tpu.ops import ln_matmul as lnm
+                qkv = lnm.ln_matmul(x, norm["scale"], norm["bias"], w_qkv,
+                                    interpret=_LN_MATMUL_FUSE == "interpret")
+            else:
+                qkv = jnp.dot(x, w_qkv.astype(x.dtype))
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         if fuse:
@@ -202,6 +211,16 @@ def attention(params, x: Array, heads: int, context: Optional[Array] = None,
     # strided layout starves the MXU); the (h,d)-contraction einsum is the
     # same math (fp32 accumulation either way) without the strided operand.
     b, h, sq, d = out_h.shape
+    if layers.linear_int8_enabled() and "kernel_q" in params["to_out"]:
+        xq, xs = layers.quantize_act_i8(out_h)
+        w_o = params["to_out"]["kernel_q"].reshape(h, d, h * d)
+        y = jnp.einsum("bhsd,hdc->bsc", xq, w_o,
+                       preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32)
+             * (params["to_out"]["w_scale"].astype(jnp.float32) * xs))
+        if "bias" in params["to_out"]:
+            y = y + params["to_out"]["bias"].astype(jnp.float32)
+        return y.astype(out_h.dtype)
     w_o = params["to_out"]["kernel"].astype(out_h.dtype).reshape(h, d, h * d)
     y = jnp.einsum("bhsd,hdc->bsc", out_h, w_o,
                    preferred_element_type=jnp.float32).astype(out_h.dtype)

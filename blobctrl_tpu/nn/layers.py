@@ -52,7 +52,60 @@ def init_linear(key, d_in: int, d_out: int, use_bias: bool = True, scale: Option
     return p
 
 
+# Opt-in int8 linear path: activations quantize under a STATIC amax (so
+# the quantize fuses into the producing fusion — the same policy as
+# ops/conv3x3's int8 conv); weights arrive PRE-quantized per-output-channel
+# (``kernel_q``/``w_scale`` leaves from ops.conv3x3.quantize_conv_tree).
+# MEASURED NEUTRAL e2e on v5e (1.004x on top of int8 conv+flash, PERF_NOTES
+# "Round-3 levers"): the transformer projections are small-K GEMMs XLA
+# already runs well in bf16, and the quantize passes offset the int8 MXU
+# gain. Default OFF and NOT part of the benched int8-everything bundle
+# (extra loss for no speed); kept for re-evaluation at other shapes.
+_LINEAR_INT8 = False
+_LINEAR_INT8_AMAX = 12.0
+
+
+def set_linear_int8(flag: bool, amax: float = -1.0):
+    """Toggle the int8 linear path; amax > 0 overrides the static
+    activation amax (values beyond saturate)."""
+    global _LINEAR_INT8, _LINEAR_INT8_AMAX
+    _LINEAR_INT8 = bool(flag)
+    if amax > 0:
+        _LINEAR_INT8_AMAX = float(amax)
+
+
+def linear_int8_enabled() -> bool:
+    return _LINEAR_INT8
+
+
+def quantize_act_i8(x: Array, amax: float | None = None):
+    """x -> (int8 values, scalar f32 scale) under the static amax."""
+    if amax is None:
+        amax = _LINEAR_INT8_AMAX
+    xs = jnp.asarray(amax / 127.0, jnp.float32)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                  -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def matmul_i8(x: Array, kernel_q: Array, w_scale: Array,
+              bias: Array | None, out_dtype) -> Array:
+    """(..., K) f x (K, N) int8 -> (..., N): quantize x statically, int32
+    MXU accumulation, exact rescale by (x_scale * w_scale[n]) + bias."""
+    xq, xs = quantize_act_i8(x)
+    y = lax.dot_general(xq, kernel_q,
+                        (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (w_scale.astype(jnp.float32) * xs)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def linear(params, x: Array) -> Array:
+    if _LINEAR_INT8 and "kernel_q" in params:
+        return matmul_i8(x, params["kernel_q"], params["w_scale"],
+                         params.get("bias"), x.dtype)
     y = jnp.dot(x, params["kernel"].astype(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
@@ -85,6 +138,12 @@ def conv2d(params, x: Array, stride: Union[int, Tuple[int, int]] = 1,
         padding = ((padding, padding), (padding, padding))
     elif isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    if (_LINEAR_INT8 and "kernel_q" in params
+            and params["kernel_q"].shape[:2] == (1, 1) and stride == (1, 1)):
+        # 1x1 conv == channel matmul: int8 path (transformer proj_in/out)
+        kq = params["kernel_q"]
+        return matmul_i8(x, kq.reshape(kq.shape[2:]), params["w_scale"],
+                         params.get("bias"), x.dtype)
     kernel = params["kernel"].astype(x.dtype)
     y = lax.conv_general_dilated(
         x, kernel,

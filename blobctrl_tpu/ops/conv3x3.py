@@ -78,19 +78,33 @@ def conv_int8_enabled() -> bool:
 
 
 def _quantize_kernel_i8(kern: Array) -> tuple[Array, Array]:
-    """(3,3,C,Co) kernel -> (int8 kernel, (Co,) f32 weight scales) — the
-    same per-output-channel symmetric quantization the in-graph path uses."""
+    """(3,3,C,Co) conv or (K,N) linear kernel -> (int8 kernel, per-output-
+    channel f32 scales) — the same symmetric quantization the in-graph conv
+    path uses (all axes but the last are contraction axes)."""
     wf = kern.astype(jnp.float32)
-    ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-20) / 127.0
+    red = tuple(range(wf.ndim - 1))
+    ws = jnp.maximum(jnp.max(jnp.abs(wf), axis=red), 1e-20) / 127.0
     wq = jnp.clip(jnp.round(wf / ws), -127, 127).astype(jnp.int8)
     return wq, ws
 
 
+# Transformer-block projections eligible for the int8 linear path
+# (nn/layers.matmul_i8): the long-sequence compute-heavy matmuls — attention
+# q/k/v/out, GEGLU ff, and the Transformer2D 1x1 conv proj_in/proj_out
+# (a channel matmul). Name filter keeps time/class embeddings, CLIP heads
+# etc. in bf16.
+_LINEAR_INT8_NAMES = frozenset(
+    {"to_q", "to_k", "to_v", "to_out", "proj_in", "proj_out"})
+
+
 def quantize_conv_tree(params):
-    """Pre-quantize every 3x3 conv kernel in a param tree for the int8 conv
-    path: adds ``kernel_q`` (int8) and ``w_scale`` ((Co,) f32) beside each
-    (3,3,C,Co) ``kernel``. Idempotent; non-conv leaves are returned as-is
-    (same objects — only the quantized tensors are new device buffers).
+    """Pre-quantize the hot kernels of a param tree for the int8 modes:
+    adds ``kernel_q`` (int8) and ``w_scale`` (per-out-channel f32) beside
+    each (3,3,C,Co) conv ``kernel`` (the int8 conv path) AND beside each
+    2-D transformer projection kernel whose module name is in
+    _LINEAR_INT8_NAMES (the int8 linear path, nn/layers.matmul_i8).
+    Idempotent; non-quantized leaves are returned as-is (same objects —
+    only the quantized tensors are new device buffers).
 
     Why: quantizing weights in-graph puts the abs-max reduce + round/clip +
     int8 materialization INSIDE the 50-step denoise loop (XLA does not hoist
@@ -109,8 +123,13 @@ def quantize_conv_tree(params):
     def collect(p, path):
         if isinstance(p, dict):
             k = p.get("kernel", None)
-            if (getattr(k, "ndim", 0) == 4 and k.shape[0] == 3
-                    and k.shape[1] == 3 and "kernel_q" not in p):
+            is_conv33 = (getattr(k, "ndim", 0) == 4 and k.shape[0] == 3
+                         and k.shape[1] == 3)
+            is_hot_linear = (path and path[-1] in _LINEAR_INT8_NAMES
+                             and (getattr(k, "ndim", 0) == 2
+                                  or (getattr(k, "ndim", 0) == 4
+                                      and k.shape[:2] == (1, 1))))
+            if (is_conv33 or is_hot_linear) and "kernel_q" not in p:
                 kernels[path] = k
             for name, v in p.items():
                 collect(v, path + (name,))

@@ -215,15 +215,18 @@ class BlobNetPipeline:
         return fn
 
     def _conv_params(self, name: str):
-        """Param tree for ``name``, augmented with pre-quantized int8 conv
-        weights (kernel_q/w_scale) when the opt-in int8 conv mode is on.
-        Quantized ONCE per tree and cached by identity — the in-graph
-        alternative requantizes every denoise step (XLA does not hoist the
-        abs-max/round/convert chain out of lax.fori_loop). self.*_params
-        stay unaugmented (checkpoints, exports, sharding see bf16 only)."""
+        """Param tree for ``name``, augmented with pre-quantized int8
+        weights (kernel_q/w_scale beside the hot conv AND transformer-linear
+        kernels) when an opt-in int8 mode is on. Quantized ONCE per tree and
+        cached by identity — the in-graph alternative requantizes every
+        denoise step (XLA does not hoist the abs-max/round/convert chain out
+        of lax.fori_loop). self.*_params stay unaugmented (checkpoints,
+        exports, sharding see bf16 only)."""
+        from blobctrl_tpu.nn import layers as layers_mod
         from blobctrl_tpu.ops import conv3x3 as conv_mod
         p = getattr(self, name)
-        if p is None or not conv_mod.conv_int8_enabled():
+        if p is None or not (conv_mod.conv_int8_enabled()
+                             or layers_mod.linear_int8_enabled()):
             return p
         cache = getattr(self, "_int8_param_cache", None)
         if cache is None:

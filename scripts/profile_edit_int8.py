@@ -10,7 +10,7 @@ sys.path.insert(0, ".")
 def main():
     from blobctrl_tpu.utils import benchkit
     benchkit.enable_compile_cache()
-    from blobctrl_tpu.nn import attention
+    from blobctrl_tpu.nn import attention, layers
     from blobctrl_tpu.ops import conv3x3 as conv_mod
     from blobctrl_tpu.utils import observability
 
@@ -21,6 +21,8 @@ def main():
 
     attention.set_attention_backend("auto", qk_int8=True, int8_global_k=True)
     conv_mod.set_conv_int8(True)
+    if "--linears" in sys.argv:   # measured neutral e2e; off by default
+        layers.set_linear_int8(True)
 
     def run():
         return pipe(**kw).images
