@@ -70,6 +70,16 @@ def main():
         assert imgs.shape[0] == batch
         batch_img_s = batch / batch_sec
 
+    def timed_median(fn, n=3):
+        """Median-of-n for the secondary modes: single-run readings drift
+        several percent with host load (see PERF_NOTES methodology)."""
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
     # encoder-cache fast mode (opt-in Faster-Diffusion approximation,
     # arXiv 2312.09608): decoder-only on reuse steps
     cache_sec = None
@@ -79,9 +89,7 @@ def main():
             return pipe(encoder_cache_interval=cache_interval, **kw).images
         print("bench: warming cache graph", file=sys.stderr, flush=True)
         run_cached()
-        t0 = time.perf_counter()
-        run_cached()
-        cache_sec = time.perf_counter() - t0
+        cache_sec = timed_median(run_cached)
 
     # int8-everything path (opt-in, LOSSY: int8 QK^T flash + int8 convs with
     # global activation scales) — the checkpoint-day quality gate is
@@ -100,9 +108,7 @@ def main():
         try:
             print("bench: warming int8 graph", file=sys.stderr, flush=True)
             run()
-            t0 = time.perf_counter()
-            run()
-            int8_sec = time.perf_counter() - t0
+            int8_sec = timed_median(run)
         finally:
             attention.set_attention_backend("auto", qk_int8=False,
                                             int8_global_k=False)
@@ -122,9 +128,7 @@ def main():
             return pipe(**kwr).images
         print("bench: warming remove graph", file=sys.stderr, flush=True)
         run_remove()
-        t0 = time.perf_counter()
-        run_remove()
-        remove_sec = time.perf_counter() - t0
+        remove_sec = timed_median(run_remove)
 
     baseline_img_s_chip = 1.0 / 1.5 / 4.0
     print(json.dumps({
