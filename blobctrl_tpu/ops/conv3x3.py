@@ -64,6 +64,20 @@ def set_halo_mode(mode: str):
     _HALO_MODE = mode
 
 
+# Winograd F(2x2,3x3) routing (ops/winograd.py): 2.25x fewer MXU MACs at
+# the cost of VPU transform passes. Opt-in pending the e2e A/B.
+_WINOGRAD = False
+
+
+def set_winograd(flag: bool):
+    global _WINOGRAD
+    _WINOGRAD = bool(flag)
+
+
+def winograd_enabled() -> bool:
+    return _WINOGRAD
+
+
 def set_conv_int8(flag: bool, act_amax: float | None = "unset"):
     """Toggle the int8 conv path; optionally set the static activation amax
     (None = dynamic per-call max-abs, measured slower)."""
@@ -267,6 +281,11 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         act_amax = _CONV_INT8_ACT_AMAX
     if not int8:
         kernel_q = w_scale = None
+    if (_WINOGRAD and not int8 and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0):
+        from blobctrl_tpu.ops import winograd
+        return winograd.conv3x3_winograd(x, kernel, bias, scale, shift,
+                                         interpret=interpret)
     return _conv3x3(x, kernel, bias, scale, shift, interpret=interpret,
                     halo=halo, int8=int8, act_amax=act_amax,
                     kernel_q=kernel_q, w_scale=w_scale)
