@@ -91,6 +91,20 @@ def main():
         run_cached()
         cache_sec = timed_median(run_cached)
 
+    # guidance-interval CFG (opt-in approximation, arXiv 2404.07724): steps
+    # outside the window run cond-only (UNet batch 1 instead of 2)
+    cfgint_sec = None
+    cfg_window = os.environ.get("BENCH_CFG_WINDOW", "0.15,0.75")
+    if cfg_window:
+        w0, w1 = (float(x) for x in cfg_window.split(","))
+
+        def run_cfgint():
+            return pipe(cfg_guidance_start=w0, cfg_guidance_end=w1,
+                        **kw).images
+        print("bench: warming cfg-interval graph", file=sys.stderr, flush=True)
+        run_cfgint()
+        cfgint_sec = timed_median(run_cfgint)
+
     # int8-everything path (opt-in, LOSSY: int8 QK^T flash + int8 convs with
     # global activation scales) — the checkpoint-day quality gate is
     # `replay --all --score` under this mode; speed measured here
@@ -141,6 +155,7 @@ def main():
         "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
         "remove_edit_seconds": round(remove_sec, 4) if remove_sec else None,
         "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,
+        "cfg_interval_edit_seconds": round(cfgint_sec, 4) if cfgint_sec else None,
         "int8_edit_seconds": round(int8_sec, 4) if int8_sec else None,
         "device": str(jax.devices()[0]),
     }))

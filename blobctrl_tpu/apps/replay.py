@@ -53,8 +53,11 @@ def load_images(demo_dir: str):
 
 
 def replay(pipeline, demo_dir: str, num_inference_steps: Optional[int] = None,
-           num_samples: Optional[int] = None):
-    """Returns (images (N,512,512,3) float, state, final_ellipse)."""
+           num_samples: Optional[int] = None,
+           pipe_kwargs: Optional[Dict] = None):
+    """Returns (images (N,512,512,3) float, state, final_ellipse).
+    pipe_kwargs: extra pipeline kwargs (e.g. the opt-in fast modes
+    cfg_guidance_start/end, encoder_cache_interval) for quality-gating."""
     from blobctrl_tpu.blob import math as blob_math
     from blobctrl_tpu.blob import viz as viz_lib
 
@@ -89,7 +92,8 @@ def replay(pipeline, demo_dir: str, num_inference_steps: Optional[int] = None,
         seed=int(state["seed"]),
         blobnet_conditioning_scale=strength,
         blobnet_control_guidance_start=float(state["blobnet_control_guidance_start"]),
-        blobnet_control_guidance_end=float(state["blobnet_control_guidance_end"]))
+        blobnet_control_guidance_end=float(state["blobnet_control_guidance_end"]),
+        **(pipe_kwargs or {}))
     return out.images, state, final_ellipse
 
 
@@ -114,12 +118,14 @@ def outside_mask_psnr(images: np.ndarray, expected: np.ndarray,
 
 def score_state(pipeline, demo_dir: str,
                 num_inference_steps: Optional[int] = None,
-                num_samples: Optional[int] = None) -> Dict:
+                num_samples: Optional[int] = None,
+                pipe_kwargs: Optional[Dict] = None) -> Dict:
     """Replay one demo state and score it against its recorded
     results_gallery pixels. Exclusion mask = union of every ellipse in the
     state's ellipse_lists (the regions the edit legitimately changes)."""
     images, state, final_ellipse = replay(pipeline, demo_dir,
-                                          num_inference_steps, num_samples)
+                                          num_inference_steps, num_samples,
+                                          pipe_kwargs)
     _, _, _, expected = load_images(demo_dir)
     row: Dict = {"name": os.path.basename(demo_dir.rstrip("/")),
                  "seed": int(state["seed"]),
@@ -141,13 +147,15 @@ def score_state(pipeline, demo_dir: str,
 
 def score_all(pipeline, demo_root: str, names: Optional[List[str]] = None,
               num_inference_steps: Optional[int] = None,
-              num_samples: Optional[int] = None) -> List[Dict]:
+              num_samples: Optional[int] = None,
+              pipe_kwargs: Optional[Dict] = None) -> List[Dict]:
     if names is None:
         names = [n for n in EXAMPLE_ORDER
                  if os.path.isfile(os.path.join(demo_root, n, "state",
                                                 "state.json"))]
     return [score_state(pipeline, os.path.join(demo_root, n),
-                        num_inference_steps, num_samples) for n in names]
+                        num_inference_steps, num_samples, pipe_kwargs)
+            for n in names]
 
 
 def print_score_table(rows: List[Dict]) -> Dict:
@@ -191,6 +199,10 @@ def main():
                    help="score under the opt-in int8-everything mode "
                         "(int8 global-k flash + int8 convs) — THE quality "
                         "gate for that mode on real checkpoints")
+    p.add_argument("--cfg_window", default=None, metavar="START,END",
+                   help="score under the opt-in guidance-interval CFG mode "
+                        "(arXiv 2404.07724), e.g. 0.15,0.75 — the quality "
+                        "gate for that mode on real checkpoints")
     args = p.parse_args()
 
     if args.int8:
@@ -202,12 +214,17 @@ def main():
                                         int8_global_k=True)
         conv_mod.set_conv_int8(True)
 
+    pipe_kwargs = {}
+    if args.cfg_window:
+        w0, w1 = (float(x) for x in args.cfg_window.split(","))
+        pipe_kwargs.update(cfg_guidance_start=w0, cfg_guidance_end=w1)
+
     from blobctrl_tpu.params import io as io_lib
     pipeline = io_lib.load_pipeline(args.models_root)
     names = args.name  # None -> all available
     if args.score:
         rows = score_all(pipeline, args.demo_root, names,
-                         args.steps, args.num_samples)
+                         args.steps, args.num_samples, pipe_kwargs)
         print_score_table(rows)
         if args.json_out:
             with open(args.json_out, "w") as f:
@@ -218,7 +235,7 @@ def main():
             if not os.path.isfile(os.path.join(d, "state", "state.json")):
                 continue
             images, state, _ = replay(pipeline, d, args.steps,
-                                      args.num_samples)
+                                      args.num_samples, pipe_kwargs)
             print(f"{n}: replayed {images.shape[0]} sample(s), "
                   f"seed {state['seed']}")
 

@@ -265,7 +265,8 @@ class BlobNetPipeline:
 
     def _get_edit_fn(self, scheduler_name: str, num_steps: int,
                      do_cfg: bool, use_blobnet: bool = True,
-                     encoder_cache: bool = False, decode: bool = True):
+                     encoder_cache: bool = False, decode: bool = True,
+                     cfg_interval: bool = False):
         """One jitted graph for the WHOLE edit: batched VAE encode of both
         conditioning images, score/feature-splat prep, the denoise loop, and
         the VAE decode. Fusing the fixed path matters on top of the loop: the
@@ -277,8 +278,13 @@ class BlobNetPipeline:
         # the encoder-cache key-step mask (an operand array)
         hybrid = (self.mesh is not None
                   and getattr(self, "_hybrid_cfg_data", False) and do_cfg)
+        if cfg_interval and hybrid:
+            raise ValueError(
+                "cfg_guidance interval is incompatible with the hybrid "
+                "CFG-data sharding recipe (cond-only steps drop the CFG "
+                "batch dim the recipe shards over)")
         key = (scheduler_name, num_steps, do_cfg, use_blobnet, encoder_cache,
-               decode, hybrid)
+               decode, hybrid, cfg_interval)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -327,10 +333,11 @@ class BlobNetPipeline:
 
         def denoise(unet_params, blobnet_params, latents, prompt_embeds,
                     fg_lat, bg_lat, fg_score, bg_score, fg_feats, cond_scales,
-                    guidance_scale, key_mask, noise_key):
+                    guidance_scale, key_mask, cfg_mask, noise_key):
             """latents: (B, h, w, 4) f32. fg/bg_lat: (CB, h, w, 4);
             fg/bg_score: (CB, h, w, 1); fg_feats: (CB, h, w, Cd);
-            cond_scales: (S,) f32; key_mask: (S,) bool (all True = exact).
+            cond_scales: (S,) f32; key_mask: (S,) bool (all True = exact);
+            cfg_mask: (S,) bool, used only when cfg_interval (see below).
             CB = CFG batch (2B or B).
 
             CFG dedup: BlobNet takes no text conditioning, so its two CFG
@@ -420,6 +427,51 @@ class BlobNetPipeline:
                     noise_pred = uncond + guidance_scale * (cond - uncond)
                 return noise_pred
 
+            def cond_only_step(i, sample_d):
+                """Guidance-interval CFG (opt-in, arXiv 2404.07724): on steps
+                outside the CFG window the guidance combine degenerates to the
+                conditional prediction alone (uncond + 1*(cond - uncond) ==
+                cond), so the uncond UNet rows are skipped entirely — the
+                UNet runs at batch B instead of 2B. BlobNet already runs at
+                batch B (CFG dedup), so its cost is unchanged."""
+                t = sched.timesteps_jax[i].astype(jnp.float32)
+                unet_right = jnp.concatenate([sample_d, bg_score_d[n:]],
+                                             axis=-1)
+                unet_in = jnp.concatenate([unet_cond_left[n:], unet_right],
+                                          axis=2)
+                pe_cond = pe[n:]
+                if use_blobnet:
+                    blob_right = jnp.concatenate(
+                        [sample_d, blob_cond_right_extras], axis=-1)
+                    blob_in = jnp.concatenate([blob_cond_left, blob_right],
+                                              axis=2)
+
+                    def blob_on(blob_in):
+                        return blobnet_lib.blobnet_apply(
+                            blobnet_params, blobnet_cfg, blob_in, t,
+                            conditioning_scale=cond_scales[i].astype(dtype))
+
+                    def blob_off(blob_in):
+                        return jax.tree_util.tree_map(
+                            jnp.zeros_like, jax.eval_shape(blob_on, blob_in))
+
+                    down, mid, up = jax.lax.cond(
+                        cond_scales[i] != 0.0, blob_on, blob_off, blob_in)
+                    x_mid, skips = unet_lib.unet_encode(
+                        unet_params, unet_cfg, unet_in, t, pe_cond,
+                        down_block_add_samples=[crop_right(r) for r in down],
+                        mid_block_add_sample=crop_right(mid))
+                    up_res = [crop_right(r) for r in up]
+                else:
+                    x_mid, skips = unet_lib.unet_encode(
+                        unet_params, unet_cfg, unet_in, t, pe_cond)
+                    up_res = None
+                noise_pred = unet_lib.unet_decode(
+                    unet_params, unet_cfg, x_mid, skips, t, pe_cond,
+                    up_block_add_samples=up_res)
+                w = noise_pred.shape[2]
+                return noise_pred[:, :, w // 2:, :].astype(jnp.float32)
+
             if scheduler_name == "unipc":
                 state = unipc_lib.init_state(sched, latents)
             elif scheduler_name.startswith("dpm"):
@@ -441,10 +493,20 @@ class BlobNetPipeline:
                 return (ddim_lib.step(sched, i, noise_pred, state[0]),)
 
             if not encoder_cache:
-                def body(i, state):
-                    sample_d = state[0].astype(dtype)
-                    noise_pred = decode_step(i, encode_step(i, sample_d))
-                    return sched_step(i, noise_pred, state)
+                if cfg_interval and do_cfg:
+                    def body(i, state):
+                        sample_d = state[0].astype(dtype)
+                        noise_pred = jax.lax.cond(
+                            cfg_mask[i],
+                            lambda s: decode_step(i, encode_step(i, s)),
+                            lambda s: cond_only_step(i, s),
+                            sample_d)
+                        return sched_step(i, noise_pred, state)
+                else:
+                    def body(i, state):
+                        sample_d = state[0].astype(dtype)
+                        noise_pred = decode_step(i, encode_step(i, sample_d))
+                        return sched_step(i, noise_pred, state)
 
                 state = jax.lax.fori_loop(0, num_steps, body, state)
                 return state[0]
@@ -469,7 +531,7 @@ class BlobNetPipeline:
         @jax.jit  # no donation: caller-supplied latents must stay valid
         def edit(unet_params, blobnet_params, vae_params, fg_img, bg_img,
                  gs, pooled, prompt_embeds, latents, cond_scales,
-                 guidance_scale, key_mask, noise_key):
+                 guidance_scale, key_mask, cfg_mask, noise_key):
             """fg_img/bg_img: (1, H, W, 3) f32 in [-1, 1]; gs: (1, h, w, M+1)
             composited score layers [bg, fg_1..fg_M]; pooled: (M, Cd) per-blob
             DINOv2 embeddings. Everything else as in denoise()."""
@@ -490,7 +552,7 @@ class BlobNetPipeline:
             final = denoise(unet_params, blobnet_params, latents,
                             prompt_embeds, fg_lat, bg_lat, fg_score, bg_score,
                             fg_feats, cond_scales, guidance_scale, key_mask,
-                            noise_key)
+                            cfg_mask, noise_key)
             if not decode:
                 return final
             img = vae_lib.decode_from_scaled_latents(
@@ -530,6 +592,8 @@ class BlobNetPipeline:
                  output_type: str = "np",
                  encoder_cache_interval: int = 0,
                  encoder_cache_warmup: int = 5,
+                 cfg_guidance_start: float = 0.0,
+                 cfg_guidance_end: float = 1.0,
                  fg_dino_feats: Optional[np.ndarray] = None,
                  fg_vae_image=None,
                  ip_adapter_image=None,
@@ -682,9 +746,25 @@ class BlobNetPipeline:
                           or cond_scales[i] != cond_scales[i - 1])
                 key_mask[i] = is_key
 
+        # Guidance-interval CFG (opt-in, approximate; arXiv 2404.07724):
+        # apply the CFG combine only inside the [start, end) step window —
+        # outside it, only the conditional UNet rows run (noise_pred = cond,
+        # i.e. the guidance_scale=1 limit). Same keep convention as the
+        # BlobNet control window. Default (0, 1) = exact, every step guided.
+        cfg_mask = blobnet_keep_schedule(num_inference_steps,
+                                         cfg_guidance_start,
+                                         cfg_guidance_end) > 0.0
+        cfg_interval = bool(do_cfg and not cfg_mask.all())
+        if cfg_interval and encoder_cache:
+            raise ValueError(
+                "cfg_guidance interval cannot be combined with "
+                "encoder_cache_interval: the cached encoder state carries "
+                "the CFG batch dim that cond-only steps drop")
+
         edit, sched = self._get_edit_fn(scheduler, num_inference_steps,
                                         do_cfg, use_blobnet, encoder_cache,
-                                        decode=output_type != "latent")
+                                        decode=output_type != "latent",
+                                        cfg_interval=cfg_interval)
         out = edit(self._conv_params("unet_params"),
                    self._conv_params("blobnet_params"),
                    self._conv_params("vae_params"),
@@ -692,6 +772,7 @@ class BlobNetPipeline:
                    jnp.asarray(cond_scales),
                    jnp.asarray(float(guidance_scale), jnp.float32),
                    jnp.asarray(key_mask),
+                   jnp.asarray(cfg_mask),
                    jax.random.fold_in(key, 0x5de))
 
         if output_type == "latent":
