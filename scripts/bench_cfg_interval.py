@@ -25,6 +25,15 @@ def main():
     pipe = benchkit.make_flagship_pipe()
     kw = benchkit.standard_edit_kwargs()
 
+    if os.environ.get("INT8", "0") == "1":
+        # interleave int8-alone vs int8+window (the stackability A/B)
+        from blobctrl_tpu.nn import attention
+        from blobctrl_tpu.ops import conv3x3 as conv_mod
+        attention.set_attention_backend("auto", qk_int8=True,
+                                        int8_global_k=True)
+        conv_mod.set_conv_int8(True)
+        print("int8-everything ON for both variants", flush=True)
+
     def run_exact():
         return pipe(**kw).images
 

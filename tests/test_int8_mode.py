@@ -183,3 +183,38 @@ def test_int8_stacks_with_encoder_cache():
         conv_mod.set_conv_int8(False)
         resnet_mod.set_conv_backend("auto")
     assert got.shape == (1, 64, 64, 3) and np.isfinite(got).all()
+
+
+def test_int8_stacks_with_cfg_interval():
+    """int8 convs + guidance-interval CFG compose (the two modes are
+    orthogonal: kernel routing vs loop structure). encoder-cache + cfg
+    interval is the one disallowed pair (tests/test_cfg_interval.py)."""
+    key = jax.random.PRNGKey(2)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    pipe = BlobNetPipeline(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+    rng = np.random.RandomState(2)
+    kw = dict(
+        fg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+        bg_image=rng.randint(0, 255, (64, 64, 3)).astype(np.uint8),
+        gs_score=np.stack([np.ones((1, 8, 8)),
+                           rng.rand(1, 8, 8)], -1).astype(np.float32),
+        height=64, width=64, num_inference_steps=4, guidance_scale=7.5,
+        prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+        negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+        seed=1, fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+    from blobctrl_tpu.nn import resnet as resnet_mod
+    resnet_mod.set_conv_backend("interpret")
+    conv_mod.set_conv_int8(True)
+    try:
+        got = pipe(cfg_guidance_start=0.25, cfg_guidance_end=0.75,
+                   **kw).images
+    finally:
+        conv_mod.set_conv_int8(False)
+        resnet_mod.set_conv_backend("auto")
+    assert got.shape == (1, 64, 64, 3) and np.isfinite(got).all()
