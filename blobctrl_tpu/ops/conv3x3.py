@@ -286,9 +286,72 @@ def conv3x3(x: Array, kernel: Array, bias: Array | None = None,
         from blobctrl_tpu.ops import winograd
         return winograd.conv3x3_winograd(x, kernel, bias, scale, shift,
                                          interpret=interpret)
-    return _conv3x3(x, kernel, bias, scale, shift, interpret=interpret,
-                    halo=halo, int8=int8, act_amax=act_amax,
-                    kernel_q=kernel_q, w_scale=w_scale)
+    return _diff_conv3x3(interpret, halo, int8, act_amax)(
+        (x, kernel, bias, scale, shift, kernel_q, w_scale))
+
+
+def _xla_reference(x: Array, kernel: Array, bias, scale, shift) -> Array:
+    """Exact-math XLA implementation of the fused op's semantics —
+    conv3x3(silu(x*scale+shift)) with the same fp32 prologue/accumulation.
+    Serves as the backward rule of the custom VJP below."""
+    b, _, _, c = x.shape
+    if scale is not None:
+        s = scale if scale.ndim == 2 else jnp.broadcast_to(scale[None], (b, c))
+        xf = (x.astype(jnp.float32) * s[:, None, None, :].astype(jnp.float32))
+        if shift is not None:
+            sh = (shift if shift.ndim == 2
+                  else jnp.broadcast_to(shift[None], (b, c)))
+            xf = xf + sh[:, None, None, :].astype(jnp.float32)
+        x = jax.nn.silu(xf).astype(x.dtype)
+    out_dtype = x.dtype
+    # all-f32 compute: mixed bf16/f32 operands trip the conv transpose rule
+    # when this function is differentiated (the only use of this path)
+    out = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), kernel.astype(jnp.float32), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_conv3x3(interpret: bool, halo: str, int8: bool,
+                  act_amax: float | None):
+    """conv3x3 with a custom VJP: Pallas forward, exact-math XLA backward
+    (Pallas kernels define no autodiff rules, so training on TPU would
+    otherwise fail to trace). The backward always differentiates the exact
+    op — with int8 on, that is a straight-through exact-math estimator.
+    Residuals are the raw inputs; the XLA forward is recomputed inside bwd
+    (remat-by-default, matching TrainConfig.remat)."""
+
+    @jax.custom_vjp
+    def f(args):
+        x, kernel, bias, scale, shift, kernel_q, w_scale = args
+        return _conv3x3(x, kernel, bias, scale, shift, interpret=interpret,
+                        halo=halo, int8=int8, act_amax=act_amax,
+                        kernel_q=kernel_q, w_scale=w_scale)
+
+    def fwd(args):
+        return f(args), args
+
+    def bwd(args, g):
+        x, kernel, bias, scale, shift, kernel_q, w_scale = args
+        _, vjp = jax.vjp(lambda t: _xla_reference(*t),
+                         (x, kernel, bias, scale, shift))
+        gx, gk, gb, gs, gsh = vjp(g)[0]
+
+        def zero_ct(a):
+            if a is None:
+                return None
+            if jnp.issubdtype(a.dtype, jnp.integer):  # int8 kernel_q: float0
+                import numpy as np
+                return np.zeros(a.shape, jax.dtypes.float0)
+            return jnp.zeros_like(a)
+
+        return ((gx, gk, gb, gs, gsh, zero_ct(kernel_q), zero_ct(w_scale)),)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "halo", "int8",

@@ -252,11 +252,49 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float,
         pad_d = _PAD_D_HBM
     if exp2_fold is None:
         exp2_fold = _EXP2_FOLD
-    return _flash_attention(q, k, v, scale, block_q=block_q,
-                            block_kv=block_kv, interpret=interpret,
-                            qk_int8=qk_int8, fixed_max=fixed_max,
-                            pad_d=pad_d, exp2_fold=exp2_fold,
-                            int8_global_k=int8_global_k)
+    return _diff_flash(scale, block_q, block_kv, interpret, qk_int8,
+                       fixed_max, pad_d, exp2_fold, int8_global_k)((q, k, v))
+
+
+def _xla_sdpa_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Exact-math XLA attention (same math as nn.attention.sdpa_xla,
+    duplicated to avoid an ops -> nn import cycle). Backward rule of the
+    custom VJP below."""
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_flash(scale, block_q, block_kv, interpret, qk_int8, fixed_max,
+                pad_d, exp2_fold, int8_global_k):
+    """flash_attention with a custom VJP: Pallas forward, exact-math XLA
+    backward (the kernel defines no autodiff rule, so training on TPU would
+    otherwise fail to trace). The backward materializes the (Sq, Sk) score
+    matrix — fine at training resolutions with remat; a dedicated Pallas
+    backward kernel is the known upgrade if full-resolution training ever
+    becomes attention-memory-bound. int8 paths differentiate the exact op
+    (straight-through)."""
+
+    @jax.custom_vjp
+    def f(args):
+        q, k, v = args
+        return _flash_attention(q, k, v, scale, block_q=block_q,
+                                block_kv=block_kv, interpret=interpret,
+                                qk_int8=qk_int8, fixed_max=fixed_max,
+                                pad_d=pad_d, exp2_fold=exp2_fold,
+                                int8_global_k=int8_global_k)
+
+    def fwd(args):
+        return f(args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(lambda t: _xla_sdpa_reference(*t, scale), args)
+        return (vjp(g)[0],)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv",

@@ -28,9 +28,17 @@ from blobctrl_tpu.blob import viz as viz_lib
 
 def build_example(pipeline, image: np.ndarray, mask: np.ndarray,
                   prompt_embeds: np.ndarray, size: int = 512,
-                  inflate: float = 1.05) -> Dict[str, np.ndarray]:
+                  inflate: float = 1.05,
+                  whiteout_ellipse=None) -> Dict[str, np.ndarray]:
     """One training example from (image uint8 HxWx3 at `size`^2, binary mask).
-    Uses the pipeline's jitted VAE/DINOv2 encoders."""
+    Uses the pipeline's jitted VAE/DINOv2 encoders.
+
+    whiteout_ellipse: optional cv2-style ellipse whited out in the background
+    conditioning — the move edit's vacated source region (and remove mode's
+    erase region) are white at inference, so training should sample
+    non-overlapping white-outs too (see train/toy.py build_dataset for the
+    validated recipe: ~60% of examples with a distractor white-out, ~10%
+    object-free examples with an all-bg score)."""
     import jax.numpy as jnp
     from blobctrl_tpu.models import dinov2 as dino_lib
     from blobctrl_tpu.pipeline.blobnet_pipeline import preprocess_image
@@ -41,7 +49,17 @@ def build_example(pipeline, image: np.ndarray, mask: np.ndarray,
 
     fg_img = editor_lib.object_region_on_canvas(image, mask, canvas=size)
     emask = viz_lib.ellipse_mask(ellipse, size, size)
-    bg_img = viz_lib.composite_mask_and_image(emask, image, (255, 255, 255))
+    # The object (target) region is BLACKED, matching what the inference path
+    # feeds the model (apps/session.py build_edited_background: start region
+    # white, target region black). Training with a whited target would make
+    # every inference input out-of-distribution — verified empirically by the
+    # from-scratch toy training (train/toy.py), which uses the same
+    # convention and whose move edits depend on it.
+    bg_img = viz_lib.composite_mask_and_image(emask, image, (0, 0, 0))
+    if whiteout_ellipse is not None:
+        wmask = viz_lib.ellipse_mask(whiteout_ellipse, size, size)
+        bg_img = viz_lib.composite_mask_and_image(wmask, bg_img,
+                                                  (255, 255, 255))
 
     gs = np.asarray(blob_math.blob_score_from_ellipse(ellipse, size, size, (lh, lw)))
     bg_score, fg_score = gs[..., 0:1], gs[..., 1:2]

@@ -6,7 +6,9 @@ added to the ground-truth latents, conditioned on the fg blob splat + DINOv2
 appearance features (BlobNet branch) and the masked background (UNet branch),
 with the double-width layout and right-half loss.
 
-Trainables: BlobNet params + UNet LoRA (A/B). UNet/VAE/encoders frozen.
+Trainables: BlobNet params + UNet LoRA (A/B) by default; UNet/VAE/encoders
+frozen. ``TrainConfig.train_unet_full`` instead trains the full base UNet
+(from-scratch training — used by train/toy.py).
 Sharding: batch over the ``data`` mesh axis; params replicated (optionally
 model-sharded); XLA GSPMD inserts the gradient all-reduces.
 """
@@ -38,6 +40,11 @@ class TrainConfig:
     lora_scale: float = 1.0
     remat: bool = True
     compute_dtype: Any = jnp.bfloat16
+    # Train the full base UNet (from-scratch training / full fine-tune)
+    # instead of a LoRA adapter over frozen weights. The second argument of
+    # init_train_state / the frozen_unet_params argument of train_step are
+    # then the full UNet params / ignored respectively.
+    train_unet_full: bool = False
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -47,8 +54,11 @@ def make_optimizer(cfg: TrainConfig):
     )
 
 
-def init_train_state(cfg: TrainConfig, blobnet_params, lora_params):
-    trainable = {"blobnet": blobnet_params, "lora": lora_params}
+def init_train_state(cfg: TrainConfig, blobnet_params, adapter_params):
+    """adapter_params: LoRA tree, or the full UNet tree when
+    cfg.train_unet_full."""
+    key = "unet" if cfg.train_unet_full else "lora"
+    trainable = {"blobnet": blobnet_params, key: adapter_params}
     opt_state = make_optimizer(cfg).init(trainable)
     return {"params": trainable, "opt_state": opt_state,
             "step": jnp.zeros((), jnp.int32)}
@@ -82,8 +92,11 @@ def make_train_step(cfg: TrainConfig, unet_cfg: unet_lib.UNetConfig,
         noise = jax.random.normal(rng_n, x0.shape, jnp.float32)
         x_t = ddim_lib.add_noise(sqrt_acp, sqrt_1m_acp, t, x0, noise)
 
-        unet_params = lora_lib.merge_lora(frozen_unet_params,
-                                          trainable["lora"], cfg.lora_scale)
+        if cfg.train_unet_full:
+            unet_params = trainable["unet"]
+        else:
+            unet_params = lora_lib.merge_lora(frozen_unet_params,
+                                              trainable["lora"], cfg.lora_scale)
 
         lmi = x_t.astype(dtype)
         fg_score = batch["fg_score"].astype(dtype)

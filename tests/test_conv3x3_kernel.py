@@ -265,3 +265,53 @@ def test_conv3x3_prequantized_wide_split_drift():
                              act_amax=None, kernel_q=wq, w_scale=ws))
     rel = np.abs(got - exact).max() / np.abs(exact).max()
     assert rel < 0.02, rel
+
+
+def test_conv3x3_grad_matches_xla():
+    """custom VJP: Pallas forward, XLA backward — grads of the fused op
+    (incl. the GN-affine + SiLU prologue) must match differentiating the
+    plain XLA chain. This is what training routes through on TPU."""
+    b, h, w, c, co = 2, 8, 8, 16, 32
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.05, jnp.float32)
+    bias = jnp.asarray(RNG.randn(co), jnp.float32)
+    scale = jnp.asarray(RNG.rand(b, c) + 0.5, jnp.float32)
+    shift = jnp.asarray(RNG.randn(b, c) * 0.1, jnp.float32)
+    cot = jnp.asarray(RNG.randn(b, h, w, co), jnp.float32)
+
+    def loss_pallas(x, k, bias, scale, shift):
+        return jnp.sum(conv3x3(x, k, bias, scale, shift,
+                               interpret=True) * cot)
+
+    def loss_xla(x, k, bias, scale, shift):
+        y = jax.nn.silu(x * scale[:, None, None, :] + shift[:, None, None, :])
+        out = layers.conv2d({"kernel": k, "bias": bias}, y, padding=1)
+        return jnp.sum(out * cot)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(x, k, bias, scale,
+                                                         shift)
+    ref = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(x, k, bias, scale,
+                                                      shift)
+    for g, r, name in zip(got, ref, ("x", "kernel", "bias", "scale",
+                                     "shift")):
+        rel = float(jnp.abs(g - r).max() / (jnp.abs(r).max() + 1e-12))
+        assert rel < 1e-5, (name, rel)
+
+
+def test_conv3x3_grad_no_prologue():
+    """Same, without scale/shift (the conv3x3_routed call sites)."""
+    b, h, w, c, co = 1, 8, 8, 8, 16
+    x = jnp.asarray(RNG.randn(b, h, w, c), jnp.float32)
+    k = jnp.asarray(RNG.randn(3, 3, c, co) * 0.05, jnp.float32)
+
+    def loss_pallas(x, k):
+        return jnp.sum(conv3x3(x, k, interpret=True) ** 2)
+
+    def loss_xla(x, k):
+        return jnp.sum(layers.conv2d({"kernel": k}, x, padding=1) ** 2)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1))(x, k)
+    ref = jax.grad(loss_xla, argnums=(0, 1))(x, k)
+    for g, r in zip(got, ref):
+        rel = float(jnp.abs(g - r).max() / (jnp.abs(r).max() + 1e-12))
+        assert rel < 1e-5, rel

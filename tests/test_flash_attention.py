@@ -158,3 +158,29 @@ def test_int8_quantize_rows_roundtrip():
     assert qi.dtype == jnp.int8
     back = qi.astype(jnp.float32) * qs
     assert float(jnp.abs(back - x).max()) <= float(qs.max()) * 0.5 + 1e-6
+
+
+def test_flash_grad_matches_xla():
+    """custom VJP: Pallas forward, XLA-softmax backward — grads through
+    flash_attention must match differentiating sdpa_xla. This is what
+    training routes through on TPU."""
+    b, h, s, d = 1, 2, 256, 40
+    q = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    cot = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = fa.flash_attention(q, k, v, scale=scale, block_q=128,
+                                 block_kv=128, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention.sdpa_xla(q, k, v, scale) * cot)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, ref, "qkv"):
+        rel = float(jnp.abs(g - r).max() / (jnp.abs(r).max() + 1e-12))
+        assert rel < 1e-4, (name, rel)
