@@ -296,7 +296,8 @@ def train_toy_vae(images_u8: np.ndarray, vae_cfg, steps: int = 1500,
             print(f"vae step {done}/{steps} mse {float(mse):.5f}", flush=True)
 
     @jax.jit
-    def latent_mean(x):
+    def latent_mean(x_u8):
+        x = x_u8.astype(jnp.float32) / 127.5 - 1.0
         return vae_lib.sample_latents(vae_lib.encode(params, vae_cfg, x))
 
     zs = np.asarray(latent_mean(x_all[:256]))
@@ -395,10 +396,11 @@ def save_toy(ckpt_dir: str, unet_params, blobnet_params, vae_params,
     from blobctrl_tpu.train.checkpoint import _flatten
     os.makedirs(ckpt_dir, exist_ok=True)
     sd = {}
+    # fp16 storage halves the committed artifact; inference runs bf16 anyway
     for prefix, tree in (("unet", unet_params), ("blobnet", blobnet_params),
                          ("vae", vae_params)):
         for k, v in _flatten(tree, f"{prefix}.").items():
-            sd[k] = np.ascontiguousarray(np.asarray(v, np.float32))
+            sd[k] = np.ascontiguousarray(np.asarray(v, np.float16))
     save_file(sd, os.path.join(ckpt_dir, "toy.safetensors"))
     with open(os.path.join(ckpt_dir, "toy.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
@@ -417,7 +419,7 @@ def load_toy(ckpt_dir: str):
                                                "vae": {}}
     for k, v in sd.items():
         prefix, rest = k.split(".", 1)
-        trees[prefix][rest] = v
+        trees[prefix][rest] = np.asarray(v, np.float32)
     unet_cfg, blobnet_cfg, vae_cfg = toy_configs(ctx=meta["ctx"],
                                                  dino_c=meta["dino_c"])
     vae_cfg = dataclasses.replace(vae_cfg,
