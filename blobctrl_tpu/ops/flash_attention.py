@@ -266,6 +266,37 @@ def _xla_sdpa_reference(q: Array, k: Array, v: Array, scale: float) -> Array:
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
 
 
+# Above this many score elements (Sq*Sk), the backward pass switches to the
+# q-chunked reference: differentiating the plain reference materializes the
+# full (B, H, Sq, Sk) probability matrix TWICE (p and dp) — 8.6 GB at the
+# 512^2 production level-0 shape (B*H=16, S=8192, f32), which cannot fit.
+# The chunked variant rematerializes per q-chunk, capping live score memory
+# at B*H*chunk*Sk while keeping the math exact (full-Sk softmax per chunk).
+_CHUNKED_BWD_ELEMS = 2048 * 2048
+_BWD_CHUNK_Q = 512
+
+
+def _xla_sdpa_chunked(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Same math as _xla_sdpa_reference, scanned over q chunks with per-chunk
+    rematerialization — the memory-safe backward for long sequences."""
+    b, h, sq, d = q.shape
+    chunk = _BWD_CHUNK_Q
+    pad = (-sq) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    qc = qp.reshape(b, h, (sq + pad) // chunk, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    @jax.checkpoint
+    def body(carry, q_i):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_i, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return carry, jnp.einsum("bhqk,bhkd->bhqd", p.astype(q_i.dtype), v)
+
+    _, out = jax.lax.scan(body, None, qc)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, sq + pad, d)
+    return out[:, :, :sq]
+
+
 @functools.lru_cache(maxsize=None)
 def _diff_flash(scale, block_q, block_kv, interpret, qk_int8, fixed_max,
                 pad_d, exp2_fold, int8_global_k):
@@ -290,7 +321,10 @@ def _diff_flash(scale, block_q, block_kv, interpret, qk_int8, fixed_max,
         return f(args), args
 
     def bwd(args, g):
-        _, vjp = jax.vjp(lambda t: _xla_sdpa_reference(*t, scale), args)
+        q = args[0]
+        big = q.shape[2] * args[1].shape[2] > _CHUNKED_BWD_ELEMS
+        ref = _xla_sdpa_chunked if big else _xla_sdpa_reference
+        _, vjp = jax.vjp(lambda t: ref(*t, scale), args)
         return (vjp(g)[0],)
 
     f.defvjp(fwd, bwd)

@@ -184,3 +184,43 @@ def test_flash_grad_matches_xla():
     for g, r, name in zip(got, ref, "qkv"):
         rel = float(jnp.abs(g - r).max() / (jnp.abs(r).max() + 1e-12))
         assert rel < 1e-4, (name, rel)
+
+
+def test_chunked_reference_matches_plain():
+    """The memory-safe q-chunked backward reference == plain reference,
+    including the q-pad path (Sq not a multiple of the chunk)."""
+    b, h, s, d = 1, 2, 200, 24
+    q = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    ref = fa._xla_sdpa_reference(q, k, v, 0.17)
+    got = fa._xla_sdpa_chunked(q, k, v, 0.17)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_flash_grad_chunked_bwd(monkeypatch):
+    """Long-sequence backward (q-chunked, rematerialized) grads == the plain
+    reference grads. Forced small thresholds stand in for the production
+    S=8192 shapes where the plain backward cannot fit."""
+    monkeypatch.setattr(fa, "_CHUNKED_BWD_ELEMS", 0)
+    monkeypatch.setattr(fa, "_BWD_CHUNK_Q", 96)  # 256 -> pad to 288
+    b, h, s, d = 1, 2, 256, 40
+    q = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    cot = jnp.asarray(RNG.randn(b, h, s, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = fa.flash_attention(q, k, v, scale=scale, block_q=128,
+                                 block_kv=128, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention.sdpa_xla(q, k, v, scale) * cot)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ref = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, r, name in zip(got, ref, "qkv"):
+        rel = float(jnp.abs(g - r).max() / (jnp.abs(r).max() + 1e-12))
+        assert rel < 1e-4, (name, rel)
