@@ -458,6 +458,28 @@ def edit_kwargs(scene: Dict, target_ellipse, size: int = 128,
         fg_dino_feats=emb["appearance"][cls][None])
 
 
+def remove_kwargs(scene: Dict, size: int = 128, steps: int = 50,
+                  seed: int = 3, ctx: int = 16, dino_c: int = 16) -> Dict:
+    """Pipeline kwargs for 'remove the object' on a scene from make_scene.
+    Unlike the reference recipe (strength 0, which bypasses BlobNet —
+    blobctrl_inference.py:184-185), the toy keeps BlobNet active with the
+    all-bg score: the toy was trained that way (object-free examples run
+    BlobNet at scale 1), so bypassing it is out-of-distribution for THIS
+    model. Both recipes are supported by the pipeline."""
+    img, mask = scene["image"], scene["mask"]
+    bg = viz_lib.composite_mask_and_image(mask, img, (255, 255, 255))
+    lh = lw = size // 8
+    gs = np.stack([np.ones((1, lh, lw)), np.zeros((1, lh, lw))],
+                  -1).astype(np.float32)
+    return dict(
+        fg_image=np.full((size, size, 3), 255, np.uint8), bg_image=bg,
+        gs_score=gs, height=size, width=size, num_inference_steps=steps,
+        guidance_scale=4.0, seed=seed,
+        prompt_embeds=np.zeros((1, 7, ctx), np.float32),
+        negative_prompt_embeds=np.zeros((1, 7, ctx), np.float32),
+        fg_dino_feats=np.zeros((1, dino_c), np.float32))
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean(np.square(np.asarray(a, np.float32)
                                   - np.asarray(b, np.float32))))

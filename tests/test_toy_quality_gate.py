@@ -52,6 +52,21 @@ def test_trained_blob_control(setup):
     assert src > 0.1, src
 
 
+def test_trained_remove_mode(setup):
+    """Remove edit: the object's region fills with scene background (no
+    object color left; inside statistics match outside). Calibrated on CPU
+    at 20 steps: err 0.219, inside/outside mean gap < 0.01."""
+    pipe, size, scene, _, _, _ = setup
+    from blobctrl_tpu.blob import viz as viz_lib
+    kw = toy.remove_kwargs(scene, size=size, steps=20)
+    out = pipe(**kw).images[0]
+    err = toy.color_error_inside(out, scene["ellipse"], scene["cls"], size)
+    assert err > 0.1, err
+    m = viz_lib.ellipse_mask(scene["ellipse"], size, size) > 127
+    gap = float(np.abs(out[m].mean(0) - out[~m].mean(0)).max())
+    assert gap < 0.08, gap
+
+
 def test_encoder_cache_drift_trained(setup):
     """Calibrated 56.0 dB at 20 steps (TPU 50-step: 56.4 dB)."""
     pipe, size, scene, target, kw, exact = setup
