@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -344,7 +345,6 @@ def _diff_conv3x3(interpret: bool, halo: str, int8: bool,
             if a is None:
                 return None
             if jnp.issubdtype(a.dtype, jnp.integer):  # int8 kernel_q: float0
-                import numpy as np
                 return np.zeros(a.shape, jax.dtypes.float0)
             return jnp.zeros_like(a)
 

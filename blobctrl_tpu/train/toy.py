@@ -152,6 +152,8 @@ def build_dataset(n: int, size: int = 128, seed: int = 0,
                   ctx: int = 16, dino_c: int = 16) -> Dict[str, np.ndarray]:
     """Host-side arrays for `n` examples (images in uint8; latents are encoded
     later in one batched pass — see encode_dataset)."""
+    from blobctrl_tpu.blob import editor as editor_lib
+
     emb = class_embeddings(ctx=ctx, dino_c=dino_c)
     rng = np.random.RandomState(seed)
     lh = lw = size // 8
@@ -162,7 +164,6 @@ def build_dataset(n: int, size: int = 128, seed: int = 0,
         sc = make_scene(rng, size, with_object)
         img = sc["image"]
         if with_object:
-            from blobctrl_tpu.blob import editor as editor_lib
             fg_img = editor_lib.object_region_on_canvas(img, sc["mask"],
                                                         canvas=size)
             gs = np.asarray(blob_math.blob_score_from_ellipse(
@@ -289,8 +290,7 @@ def train_toy_vae(images_u8: np.ndarray, vae_cfg, steps: int = 1500,
         idxs = jnp.asarray(rng.randint(0, n, (k, batch)), jnp.int32)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, k)
-        params, opt_state, mse = run_chunk(params, opt_state, idxs[:k],
-                                           keys)
+        params, opt_state, mse = run_chunk(params, opt_state, idxs, keys)
         done += k
         if log_every and done % log_every < chunk:
             print(f"vae step {done}/{steps} mse {float(mse):.5f}", flush=True)
