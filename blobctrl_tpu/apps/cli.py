@@ -135,6 +135,8 @@ def run(args) -> list:
 
 
 def main():
+    from blobctrl_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     run(build_parser().parse_args())
 
 

@@ -364,6 +364,8 @@ def build_demo(session, examples_root: str = "assets/results/demo"):
 
 
 def main():
+    from blobctrl_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--models_root", default="models")
     p.add_argument("--examples_root", default="assets/results/demo")

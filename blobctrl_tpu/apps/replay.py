@@ -178,6 +178,8 @@ def print_score_table(rows: List[Dict]) -> Dict:
 
 
 def main():
+    from blobctrl_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import argparse
     p = argparse.ArgumentParser(
         description="Replay the recorded demo states and score outside-mask "

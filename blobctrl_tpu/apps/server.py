@@ -327,6 +327,8 @@ def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
 
 
 def main():
+    from blobctrl_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="BlobCtrl-TPU serving")
     p.add_argument("--models_root", default="models")
     p.add_argument("--host", default="0.0.0.0")

@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--lora_rank", type=int, default=16)
+    p.add_argument("--full_finetune", action="store_true",
+                   help="train the full base UNet instead of a LoRA adapter "
+                        "(TrainConfig.train_unet_full; fits one v5e at 512^2 "
+                        "with Adam — see scripts/bench_train_512.py)")
     p.add_argument("--ckpt_dir", default="ckpts")
     p.add_argument("--ckpt_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=20)
@@ -67,6 +71,8 @@ def load_dataset(data_root: str, size: int):
 
 
 def main():
+    from blobctrl_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args()
     import jax
     import jax.numpy as jnp
@@ -89,14 +95,19 @@ def main():
                                      batch_size=args.batch_size,
                                      size=args.size)
 
-    cfg = ts.TrainConfig(learning_rate=args.learning_rate)
+    cfg = ts.TrainConfig(learning_rate=args.learning_rate,
+                         train_unet_full=args.full_finetune)
     key = jax.random.PRNGKey(0)
-    lora_params = lora_lib.init_lora(key, pipe.unet_params, rank=args.lora_rank)
     # trainable master weights must be fp32 — bf16 masters round away ~1e-5
     # AdamW updates (compute still runs in bf16 via TrainConfig.compute_dtype)
-    blobnet_fp32 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.float32), pipe.blobnet_params)
-    state = ts.init_train_state(cfg, blobnet_fp32, lora_params)
+    to_fp32 = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: x.astype(jnp.float32), tree)
+    if args.full_finetune:
+        adapter = to_fp32(pipe.unet_params)
+    else:
+        adapter = lora_lib.init_lora(key, pipe.unet_params,
+                                     rank=args.lora_rank)
+    state = ts.init_train_state(cfg, to_fp32(pipe.blobnet_params), adapter)
     if args.resume and ckpt_lib.latest_step(args.ckpt_dir) is not None:
         abstract = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
@@ -136,9 +147,18 @@ def main():
             state["params"]["blobnet"],
             os.path.join(args.export_dir, "blobnet",
                          "diffusion_pytorch_model.safetensors"))
-        ckpt_lib.export_lora_safetensors(
-            state["params"]["lora"],
-            os.path.join(args.export_dir, "unet_lora", "adapter_model.safetensors"))
+        if args.full_finetune:
+            # the exporter's key inversion is generic over UNet-structured
+            # trees (the blobnet zero_* renames simply don't match)
+            ckpt_lib.export_blobnet_safetensors(
+                state["params"]["unet"],
+                os.path.join(args.export_dir, "unet",
+                             "diffusion_pytorch_model.safetensors"))
+        else:
+            ckpt_lib.export_lora_safetensors(
+                state["params"]["lora"],
+                os.path.join(args.export_dir, "unet_lora",
+                             "adapter_model.safetensors"))
         log_event("exported", dir=args.export_dir)
 
 
