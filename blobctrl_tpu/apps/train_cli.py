@@ -9,6 +9,12 @@ Data layout: --data_root with
 Usage:
   python -m blobctrl_tpu.apps.train_cli --models_root models \
       --data_root data --batch_size 8 --steps 1000 --ckpt_dir ckpts
+
+Multi-host (pod-scale) training: run the SAME command on every host — TPU
+pods auto-detect the coordinator (parallel/multihost.py); for explicit
+bring-up pass --coordinator host:port --num_processes N --process_id i.
+--batch_size is per-process; each process loads a disjoint dataset stride
+and feeds its local rows of the global batch.
 """
 
 from __future__ import annotations
@@ -40,6 +46,12 @@ def build_parser():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="mesh data size (0 = all devices)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for explicit multi-host bring-up; TPU "
+                        "pods auto-detect (run the SAME command on every "
+                        "host), omit entirely for single-host")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--export_dir", default=None,
                    help="export trained blobnet/lora in reference formats")
     return p
@@ -79,6 +91,11 @@ def main():
 
     from blobctrl_tpu.models import lora as lora_lib
     from blobctrl_tpu.parallel import mesh as mesh_lib
+    from blobctrl_tpu.parallel import multihost
+
+    # multi-host bring-up must precede any backend touch
+    distributed = multihost.initialize(args.coordinator, args.num_processes,
+                                       args.process_id)
     from blobctrl_tpu.params import io as params_io
     from blobctrl_tpu.train import checkpoint as ckpt_lib
     from blobctrl_tpu.train import data as data_lib
@@ -87,6 +104,16 @@ def main():
 
     pipe = params_io.load_pipeline(args.models_root, dtype=jnp.bfloat16)
     images, masks, prompt_texts = load_dataset(args.data_root, args.size)
+    if distributed:
+        # each process loads a disjoint stride of the dataset and feeds its
+        # local rows of the global batch (multihost.host_local_batch below);
+        # --batch_size stays the PER-PROCESS batch
+        i, n = multihost.process_index(), multihost.process_count()
+        images, masks = images[i::n], masks[i::n]
+        prompt_texts = prompt_texts[i::n]
+        log_event("multihost", process=i, processes=n,
+                  local_examples=len(images),
+                  global_devices=len(jax.devices()))
     log_event("dataset_loaded", examples=len(images))
 
     pes = [np.asarray(pipe.encode_prompt(t, None, 1, do_cfg=False))[0]
@@ -116,7 +143,11 @@ def main():
 
     data = args.data_parallel or len(jax.devices())
     mesh = mesh_lib.make_mesh(data=data, model=1)
-    unet_params = mesh_lib.shard_params(mesh, pipe.unet_params)
+    if distributed:
+        unet_params = multihost.replicate(mesh, pipe.unet_params)
+        state = multihost.replicate(mesh, state)
+    else:
+        unet_params = mesh_lib.shard_params(mesh, pipe.unet_params)
     step_fn = ts.make_train_step(cfg, pipe.unet_cfg, pipe.blobnet_cfg)
 
     step = int(state["step"])
@@ -126,23 +157,35 @@ def main():
             for batch in loader:
                 if step >= args.steps:
                     break
-                batch = mesh_lib.shard_batch(mesh, batch)
+                batch = (multihost.host_local_batch(mesh, batch)
+                         if distributed else mesh_lib.shard_batch(mesh, batch))
                 state, metrics = step_fn(state, unet_params, batch,
                                          jax.random.PRNGKey(step))
                 step += 1
                 if step % args.log_every == 0:
+                    metrics = multihost.fetch(metrics)
                     dt = (time.perf_counter() - t0) / args.log_every
                     t0 = time.perf_counter()
-                    log_event("train", step=step,
-                              loss=round(float(metrics["loss"]), 5),
-                              grad_norm=round(float(metrics["grad_norm"]), 4),
-                              sec_per_step=round(dt, 3),
-                              img_per_sec=round(args.batch_size / dt, 2))
+                    # global batch = per-process batch x process count;
+                    # every process calls collective ops (save below), only
+                    # the coordinator narrates
+                    if multihost.is_coordinator():
+                        gbs = args.batch_size * multihost.process_count()
+                        log_event("train", step=step,
+                                  loss=round(float(metrics["loss"]), 5),
+                                  grad_norm=round(float(metrics["grad_norm"]),
+                                                  4),
+                                  sec_per_step=round(dt, 3),
+                                  img_per_sec=round(gbs / dt, 2))
                 if step % args.ckpt_every == 0 or step == args.steps:
                     ckpt_lib.save(args.ckpt_dir, state)
-                    log_event("checkpoint", step=step)
+                    if multihost.is_coordinator():
+                        log_event("checkpoint", step=step)
 
-    if args.export_dir:
+    if args.export_dir and multihost.is_coordinator():
+        # safetensors export writes from host copies; trainables are
+        # replicated so the coordinator's local shards carry the full values
+        state = {**state, "params": multihost.fetch(state["params"])}
         ckpt_lib.export_blobnet_safetensors(
             state["params"]["blobnet"],
             os.path.join(args.export_dir, "blobnet",
