@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--lora_rank", type=int, default=16)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA shadow of the trainables (0 = off; typical "
+                        "0.999); exports use the EMA weights when enabled")
     p.add_argument("--full_finetune", action="store_true",
                    help="train the full base UNet instead of a LoRA adapter "
                         "(TrainConfig.train_unet_full; fits one v5e at 512^2 "
@@ -123,7 +126,8 @@ def main():
                                      size=args.size)
 
     cfg = ts.TrainConfig(learning_rate=args.learning_rate,
-                         train_unet_full=args.full_finetune)
+                         train_unet_full=args.full_finetune,
+                         ema_decay=args.ema_decay)
     key = jax.random.PRNGKey(0)
     # trainable master weights must be fp32 — bf16 masters round away ~1e-5
     # AdamW updates (compute still runs in bf16 via TrainConfig.compute_dtype)
@@ -184,8 +188,10 @@ def main():
 
     if args.export_dir and multihost.is_coordinator():
         # safetensors export writes from host copies; trainables are
-        # replicated so the coordinator's local shards carry the full values
-        state = {**state, "params": multihost.fetch(state["params"])}
+        # replicated so the coordinator's local shards carry the full
+        # values. With EMA enabled the shadow weights are what ships.
+        export_tree = multihost.fetch(state.get("ema", state["params"]))
+        state = {**state, "params": export_tree}
         ckpt_lib.export_blobnet_safetensors(
             state["params"]["blobnet"],
             os.path.join(args.export_dir, "blobnet",

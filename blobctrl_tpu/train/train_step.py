@@ -45,6 +45,11 @@ class TrainConfig:
     # init_train_state / the frozen_unet_params argument of train_step are
     # then the full UNet params / ignored respectively.
     train_unet_full: bool = False
+    # Exponential moving average of the trainables (standard for diffusion
+    # fine-tunes; sampled weights come from the EMA shadow). 0 disables;
+    # typical 0.999-0.9999. The shadow lives in state["ema"] and is
+    # checkpointed with the rest of the state.
+    ema_decay: float = 0.0
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -60,8 +65,11 @@ def init_train_state(cfg: TrainConfig, blobnet_params, adapter_params):
     key = "unet" if cfg.train_unet_full else "lora"
     trainable = {"blobnet": blobnet_params, key: adapter_params}
     opt_state = make_optimizer(cfg).init(trainable)
-    return {"params": trainable, "opt_state": opt_state,
-            "step": jnp.zeros((), jnp.int32)}
+    state = {"params": trainable, "opt_state": opt_state,
+             "step": jnp.zeros((), jnp.int32)}
+    if cfg.ema_decay > 0:
+        state["ema"] = jax.tree_util.tree_map(jnp.copy, trainable)
+    return state
 
 
 def make_train_step(cfg: TrainConfig, unet_cfg: unet_lib.UNetConfig,
@@ -138,6 +146,10 @@ def make_train_step(cfg: TrainConfig, unet_cfg: unet_lib.UNetConfig,
         params = optax.apply_updates(state["params"], updates)
         new_state = {"params": params, "opt_state": opt_state,
                      "step": state["step"] + 1}
+        if cfg.ema_decay > 0:
+            d = cfg.ema_decay
+            new_state["ema"] = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, state["ema"], params)
         metrics = {"loss": loss,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics

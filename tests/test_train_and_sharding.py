@@ -149,3 +149,40 @@ def test_model_parallel_forward_matches_replicated():
                                                         jnp.asarray(5), c))(
             sparams, sx, sctx)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_ema_shadow_follows_update_rule():
+    unet_cfg, blobnet_cfg = flagship.tiny_configs()
+    key = jax.random.PRNGKey(0)
+    unet_params = unet_lib.init_unet(key, unet_cfg)
+    blobnet_params = blobnet_lib.init_blobnet(key, blobnet_cfg)
+    lora_params = lora_lib.init_lora(key, unet_params, rank=4)
+
+    cfg = ts.TrainConfig(learning_rate=1e-3, compute_dtype=jnp.float32,
+                         remat=False, ema_decay=0.9)
+    state = ts.init_train_state(cfg, blobnet_params, lora_params)
+    # shadow starts as an exact copy of the trainables
+    jax.tree_util.tree_map(
+        lambda e, p: np.testing.assert_array_equal(np.asarray(e),
+                                                   np.asarray(p)),
+        state["ema"], state["params"])
+    init_params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), state["params"])
+
+    step_fn = ts.make_train_step(cfg, unet_cfg, blobnet_cfg)
+    batch = make_batch(np.random.RandomState(0), B=2)
+    state, _ = step_fn(state, unet_params, batch, jax.random.PRNGKey(7))
+
+    # one step: ema == d * init + (1-d) * new_params, leaf-exact
+    def check(e, p0, p1):
+        np.testing.assert_allclose(np.asarray(e),
+                                   0.9 * p0 + 0.1 * np.asarray(p1),
+                                   rtol=1e-6, atol=1e-7)
+    jax.tree_util.tree_map(check, state["ema"], init_params, state["params"])
+
+    # more steps keep the shadow finite and BETWEEN init and a pure copy
+    for i in range(2):
+        state, _ = step_fn(state, unet_params, batch, jax.random.PRNGKey(i))
+    flat = jax.tree_util.tree_leaves(state["ema"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
