@@ -32,6 +32,15 @@ Design notes
     lock (queueing happens in the threaded HTTP layer). Horizontal scale =
     more replicas, each owning a chip — the stateless API makes that a pure
     load-balancer concern.
+  * Dynamic micro-batching (--max_batch N): concurrent requests that share
+    the sampler configuration coalesce into ONE pipeline.edit_batch device
+    program (batches pad up to the next power-of-two warm size). On TPU the
+    per-image step cost is flat in batch (PERF_NOTES "Batch scaling"), so a
+    batch of B serves B users in about the latency ONE of them would see
+    anyway once queued behind each other — aggregate throughput scales with
+    concurrency. Responses carry "batch_size". Multi-sample, encoder-cache
+    and remove-mode requests bypass the batcher (they select different
+    programs) and run solo under the same lock.
   * Warmup pre-compiles the standard 50-step graph AND the remove-mode
     graph (a different XLA program: use_blobnet=False) at startup so first
     requests do not pay a multi-minute XLA compile under the serving lock.
@@ -55,12 +64,13 @@ from __future__ import annotations
 import argparse
 import base64
 import binascii
+import collections
 import io
 import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -85,16 +95,39 @@ def _encode_image(arr: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+class _BatchItem:
+    """One queued request awaiting a micro-batch slot."""
+
+    __slots__ = ("group", "per", "shared", "event", "images", "nsfw",
+                 "error", "batch_size", "seconds")
+
+    def __init__(self, group, per, shared):
+        self.group, self.per, self.shared = group, per, shared
+        self.event = threading.Event()
+        self.images = None
+        self.nsfw = None
+        self.error: Optional[Exception] = None
+        self.batch_size = 0
+        self.seconds = 0.0
+
+
 class EditService:
     """Pipeline wrapper with the serving policy: one edit at a time on the
-    chip, request validation, optional startup warmup."""
+    chip, request validation, optional startup warmup, and (opt-in) dynamic
+    micro-batching: concurrent compatible requests coalesce into ONE
+    pipeline.edit_batch device program. On TPU the per-image step cost is
+    flat in batch (PERF_NOTES "Batch scaling"), so a batch of B serves B
+    users in roughly the time one queued user would otherwise wait for —
+    aggregate throughput scales with concurrency instead of serializing."""
 
     MAX_BODY_BYTES = 16 * 1024 * 1024   # base64 images + embeds fit in ~4 MB
     MAX_SAMPLES = 4
     MAX_STEPS = 200
+    BATCH_WAIT_TIMEOUT_S = 1800.0       # queued request gives up (500)
 
     def __init__(self, pipeline, size: int = 512, strict_shapes: bool = True,
-                 max_body_bytes: Optional[int] = None):
+                 max_body_bytes: Optional[int] = None,
+                 max_batch: int = 1, batch_window_ms: float = 25.0):
         self.pipeline = pipeline
         self.size = size
         self.lock = threading.Lock()
@@ -104,6 +137,23 @@ class EditService:
         self.max_body_bytes = max_body_bytes or self.MAX_BODY_BYTES
         # populated by warmup(); None = no warm-shape pinning yet
         self.warm_steps: Optional[int] = None
+        # dynamic micro-batching (off at max_batch=1). Batches pad up to the
+        # next warm size so the XLA compile surface stays bounded at
+        # log2(max_batch) programs.
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window_s = batch_window_ms / 1000.0
+        self.warm_batch_sizes = []
+        s = 1
+        while s <= self.max_batch:
+            self.warm_batch_sizes.append(s)
+            s *= 2
+        self.batches_run = 0
+        self.batched_requests = 0
+        self._queue: collections.deque = collections.deque()
+        self._queue_cv = threading.Condition()
+        if self.max_batch > 1:
+            threading.Thread(target=self._batch_loop, daemon=True,
+                             name="edit-batcher").start()
 
     def warmup(self, steps: int = 50):
         """Compile the standard edit graph AND the remove-mode graph (a
@@ -135,6 +185,20 @@ class EditService:
                          gs_score=np.asarray(
                              blob_math.removal_score((size // 8, size // 8))))
             self.pipeline(**kw_rm)
+            if self.max_batch > 1:
+                # micro-batch graphs at each warm size (batch 1 shares the
+                # single-edit program above)
+                per = {k: kw[k] for k in ("fg_image", "bg_image", "gs_score")}
+                per["seed"] = 0
+                for k in ("prompt", "prompt_embeds",
+                          "negative_prompt_embeds", "fg_dino_feats"):
+                    if k in kw:
+                        per[k] = kw[k]
+                for s in self.warm_batch_sizes[1:]:
+                    self.pipeline.edit_batch(
+                        [per] * s, height=size, width=size,
+                        num_inference_steps=steps, guidance_scale=7.5,
+                        blobnet_conditioning_scale=1.2)
         self.warm_steps = steps
         self.warm = True
 
@@ -178,12 +242,15 @@ class EditService:
                 "warm-compiled; start the server with strict_shapes=False "
                 "or extend warmup to cover it")
 
-    def edit(self, req: dict) -> dict:
+    def _parse(self, req: dict):
+        """Validate a request and split it into the per-request payload,
+        the shared sampler configuration (everything a micro-batch must
+        agree on), and extras that force the solo path."""
         from blobctrl_tpu.blob import math as blob_math
         size = int(req.get("size", self.size))
-        self._validate_limits(req, size,
-                              int(req.get("num_inference_steps", 50)),
-                              int(req.get("num_samples", 1)))
+        steps = int(req.get("num_inference_steps", 50))
+        num_samples = int(req.get("num_samples", 1))
+        self._validate_limits(req, size, steps, num_samples)
         self._validate_cold_graph(req)
         if "fg_image" not in req or "bg_image" not in req:
             raise ValueError("fg_image and bg_image (base64) are required")
@@ -191,7 +258,8 @@ class EditService:
         bg = _decode_image(req["bg_image"], "bg_image")
 
         lh, lw = size // 8, size // 8
-        if req.get("remove"):
+        remove = bool(req.get("remove"))
+        if remove:
             gs = np.asarray(blob_math.removal_score((lh, lw)))
             strength = 0.0
         elif "gs_score" in req:
@@ -206,33 +274,80 @@ class EditService:
             strength = float(req.get("blobnet_conditioning_scale", 1.2))
         else:
             raise ValueError("one of ellipse / gs_score / remove is required")
+        # normalize to NHWC now so the batch group key sees the true blob
+        # count (client gs_score may arrive NCHW)
+        gs = self.pipeline._normalize_gs(gs, lh, lw)
 
-        kw = dict(
-            fg_image=fg, bg_image=bg, gs_score=gs, height=size, width=size,
-            num_inference_steps=int(req.get("num_inference_steps", 50)),
+        per = dict(fg_image=fg, bg_image=bg, gs_score=gs,
+                   seed=req.get("seed"))
+        if "prompt_embeds" in req:
+            per["prompt_embeds"] = np.asarray(req["prompt_embeds"],
+                                              np.float32)
+            if "negative_prompt_embeds" in req:
+                per["negative_prompt_embeds"] = np.asarray(
+                    req["negative_prompt_embeds"], np.float32)
+        else:
+            per["prompt"] = req.get("prompt", "")
+            if req.get("negative_prompt") is not None:
+                per["negative_prompt"] = req["negative_prompt"]
+        if "fg_dino_feats" in req:
+            per["fg_dino_feats"] = np.asarray(req["fg_dino_feats"],
+                                              np.float32)
+
+        shared = dict(
+            height=size, width=size, num_inference_steps=steps,
             guidance_scale=float(req.get("guidance_scale", 7.5)),
-            num_images_per_prompt=int(req.get("num_samples", 1)),
-            seed=req.get("seed"),
             blobnet_conditioning_scale=strength,
             blobnet_control_guidance_start=float(
                 req.get("blobnet_control_guidance_start", 0.0)),
             blobnet_control_guidance_end=float(
                 req.get("blobnet_control_guidance_end", 1.0)),
-            scheduler=str(req.get("scheduler", "unipc")),
-            encoder_cache_interval=int(req.get("encoder_cache_interval", 0)),
-        )
-        if "prompt_embeds" in req:
-            kw["prompt_embeds"] = np.asarray(req["prompt_embeds"], np.float32)
-            if "negative_prompt_embeds" in req:
-                kw["negative_prompt_embeds"] = np.asarray(
-                    req["negative_prompt_embeds"], np.float32)
-        else:
-            kw["prompt"] = req.get("prompt", "")
-            if req.get("negative_prompt") is not None:
-                kw["negative_prompt"] = req["negative_prompt"]
-        if "fg_dino_feats" in req:
-            kw["fg_dino_feats"] = np.asarray(req["fg_dino_feats"], np.float32)
+            scheduler=str(req.get("scheduler", "unipc")))
+        extras = dict(num_samples=num_samples,
+                      encoder_cache_interval=int(
+                          req.get("encoder_cache_interval", 0)),
+                      remove=remove, gs_channels=int(gs.shape[-1]))
+        return per, shared, extras
 
+    def edit(self, req: dict) -> dict:
+        per, shared, extras = self._parse(req)
+        # micro-batching covers the standard serving shape; multi-sample /
+        # encoder-cache / remove requests run solo under the same lock
+        # (remove selects the use_blobnet=False graph, which is warmed only
+        # at batch 1)
+        eligible = (self.max_batch > 1 and extras["num_samples"] == 1
+                    and extras["encoder_cache_interval"] == 0
+                    and not extras["remove"])
+        if not eligible:
+            return self._edit_solo(per, shared, extras)
+        group = (tuple(sorted(shared.items())), "prompt_embeds" in per,
+                 extras["gs_channels"])
+        item = _BatchItem(group, per, shared)
+        with self._queue_cv:
+            self._queue.append(item)
+            self._queue_cv.notify_all()
+        if not item.event.wait(self.BATCH_WAIT_TIMEOUT_S):
+            raise RuntimeError("timed out waiting for a batch slot")
+        if item.error is not None:
+            raise item.error
+        resp = {"images": [_encode_image(im) for im in item.images],
+                "seconds": round(item.seconds, 4),
+                "batch_size": item.batch_size}
+        if item.nsfw is not None:
+            resp["nsfw_content_detected"] = [
+                bool(v) for v in np.asarray(item.nsfw).ravel()]
+        return resp
+
+    def _edit_solo(self, per: dict, shared: dict, extras: dict) -> dict:
+        kw = dict(shared)
+        kw.update(fg_image=per["fg_image"], bg_image=per["bg_image"],
+                  gs_score=per["gs_score"], seed=per.get("seed"),
+                  num_images_per_prompt=extras["num_samples"],
+                  encoder_cache_interval=extras["encoder_cache_interval"])
+        for k in ("prompt", "negative_prompt", "prompt_embeds",
+                  "negative_prompt_embeds", "fg_dino_feats"):
+            if k in per:
+                kw[k] = per[k]
         t0 = time.perf_counter()
         with self.lock:
             out = self.pipeline(**kw)
@@ -244,6 +359,67 @@ class EditService:
             resp["nsfw_content_detected"] = [
                 bool(v) for v in np.asarray(out.nsfw_content_detected).ravel()]
         return resp
+
+    # -- dynamic micro-batching ---------------------------------------
+
+    def _batch_loop(self):
+        """Dispatcher: wait for the queue head, give compatible requests
+        ``batch_window_s`` to pile up (or until max_batch arrive), then run
+        them as one edit_batch program. Requests in other groups stay queued
+        for the next iteration (FIFO by group of the current head)."""
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                head_group = self._queue[0].group
+            deadline = time.monotonic() + self.batch_window_s
+            while time.monotonic() < deadline:
+                with self._queue_cv:
+                    n = sum(1 for it in self._queue
+                            if it.group == head_group)
+                if n >= self.max_batch:
+                    break
+                time.sleep(0.002)
+            with self._queue_cv:
+                batch: List[_BatchItem] = []
+                rest: collections.deque = collections.deque()
+                for it in self._queue:
+                    if (it.group == head_group
+                            and len(batch) < self.max_batch):
+                        batch.append(it)
+                    else:
+                        rest.append(it)
+                self._queue = rest
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List[_BatchItem]):
+        try:
+            reqs = [it.per for it in batch]
+            # pad to the next warm size by repeating the last request —
+            # only log2(max_batch) distinct batch shapes ever compile, and
+            # on TPU the padded rows ride the flat per-image step cost
+            target = next(s for s in self.warm_batch_sizes
+                          if s >= len(reqs))
+            padded = reqs + [reqs[-1]] * (target - len(reqs))
+            t0 = time.perf_counter()
+            with self.lock:
+                out = self.pipeline.edit_batch(padded, **batch[0].shared)
+                self.requests_served += len(batch)
+            sec = time.perf_counter() - t0
+            self.batches_run += 1
+            self.batched_requests += len(batch)
+            nsfw = out.nsfw_content_detected
+            for i, it in enumerate(batch):
+                it.images = out.images[i:i + 1]
+                it.nsfw = None if nsfw is None else nsfw[i:i + 1]
+                it.batch_size = len(batch)
+                it.seconds = sec
+        except Exception as e:  # noqa: BLE001 — propagate to every waiter
+            for it in batch:
+                it.error = e
+        finally:
+            for it in batch:
+                it.event.set()
 
     def info(self) -> dict:
         import jax
@@ -259,6 +435,10 @@ class EditService:
             "max_body_bytes": self.max_body_bytes,
             "max_samples": self.MAX_SAMPLES,
             "requests_served": self.requests_served,
+            "max_batch": self.max_batch,
+            "batch_window_ms": round(self.batch_window_s * 1000.0, 3),
+            "batches_run": self.batches_run,
+            "batched_requests": self.batched_requests,
         }
 
 
@@ -314,9 +494,12 @@ def make_handler(service: EditService):
 def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
           size: int = 512, warmup_steps: Optional[int] = 50,
           strict_shapes: bool = True,
-          max_body_bytes: Optional[int] = None):
+          max_body_bytes: Optional[int] = None,
+          max_batch: int = 1, batch_window_ms: float = 25.0):
     service = EditService(pipeline, size=size, strict_shapes=strict_shapes,
-                          max_body_bytes=max_body_bytes)
+                          max_body_bytes=max_body_bytes,
+                          max_batch=max_batch,
+                          batch_window_ms=batch_window_ms)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     if warmup_steps:
         threading.Thread(target=service.warmup, args=(warmup_steps,),
@@ -338,13 +521,22 @@ def main():
                    help="accept requests whose shape/scheduler was not "
                         "warm-compiled (each pays an XLA compile under the "
                         "TPU lock)")
+    p.add_argument("--max_batch", type=int, default=1,
+                   help="dynamic micro-batching: coalesce up to this many "
+                        "concurrent compatible requests into one batched "
+                        "device program (1 = off)")
+    p.add_argument("--batch_window_ms", type=float, default=25.0,
+                   help="how long the batcher waits for more requests "
+                        "before dispatching a partial batch")
     args = p.parse_args()
 
     from blobctrl_tpu.params import io as io_lib
     pipeline = io_lib.load_pipeline(args.models_root)
     service, httpd = serve(pipeline, args.host, args.port,
                            warmup_steps=None if args.no_warmup else 50,
-                           strict_shapes=not args.allow_cold_shapes)
+                           strict_shapes=not args.allow_cold_shapes,
+                           max_batch=args.max_batch,
+                           batch_window_ms=args.batch_window_ms)
     print(f"serving on {args.host}:{args.port} (warming up in background)")
     httpd.serve_forever()
 

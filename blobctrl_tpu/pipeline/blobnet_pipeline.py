@@ -532,23 +532,28 @@ class BlobNetPipeline:
         def edit(unet_params, blobnet_params, vae_params, fg_img, bg_img,
                  gs, pooled, prompt_embeds, latents, cond_scales,
                  guidance_scale, key_mask, cfg_mask, noise_key):
-            """fg_img/bg_img: (1, H, W, 3) f32 in [-1, 1]; gs: (1, h, w, M+1)
-            composited score layers [bg, fg_1..fg_M]; pooled: (M, Cd) per-blob
-            DINOv2 embeddings. Everything else as in denoise()."""
+            """fg_img/bg_img: (Bg, H, W, 3) f32 in [-1, 1]; gs: (Bg, h, w, M+1)
+            composited score layers [bg, fg_1..fg_M]; pooled: (Bg, M, Cd)
+            per-edit, per-blob DINOv2 embeddings. Bg = 1 for the single-edit
+            path (conditioning broadcast over num_images_per_prompt) or B for
+            edit_batch's B distinct edits. Everything else as in denoise();
+            the CFG tile replicates the Bg block to match prompt_embeds'
+            [negative-block; positive-block] ordering."""
             cfg_batch = prompt_embeds.shape[0]
+            bg_batch = fg_img.shape[0]
             # both conditioning images through ONE batched VAE encode
             lat2 = vae_lib.encode_to_scaled_latents(
                 vae_params, vae_cfg,
                 jnp.concatenate([fg_img, bg_img], axis=0).astype(dtype)
             ).astype(jnp.float32)
-            tile = lambda x: jnp.tile(x, (cfg_batch, 1, 1, 1))
-            fg_lat, bg_lat = tile(lat2[0:1]), tile(lat2[1:2])
+            tile = lambda x: jnp.tile(x, (cfg_batch // bg_batch, 1, 1, 1))
+            fg_lat, bg_lat = tile(lat2[:bg_batch]), tile(lat2[bg_batch:])
             bg_score = tile(gs[..., 0:1])
             fg_layers = gs[..., 1:]
             fg_score = tile(jnp.sum(fg_layers, axis=-1, keepdims=True))
             # feature splat: per-blob score layers x per-blob appearance
             # vectors (the general splat_features_from_scores, utils.py:74-77)
-            fg_feats = tile(jnp.einsum("nhwm,mc->nhwc", fg_layers, pooled))
+            fg_feats = tile(jnp.einsum("nhwm,nmc->nhwc", fg_layers, pooled))
             final = denoise(unet_params, blobnet_params, latents,
                             prompt_embeds, fg_lat, bg_lat, fg_score, bg_score,
                             fg_feats, cond_scales, guidance_scale, key_mask,
@@ -662,17 +667,7 @@ class BlobNetPipeline:
         # edits): the BlobNet score channel is the sum of the composited fg
         # layers (disjoint by construction) and the appearance splat pairs
         # each blob with its own DINOv2 embedding.
-        gs = np.asarray(gs_score, np.float32)
-        if gs.ndim == 3:
-            gs = gs[None]
-        # exact layout check against the known latent grid
-        if gs.shape[1] == h and gs.shape[2] == w:
-            pass  # NHWC
-        elif gs.shape[2] == h and gs.shape[3] == w:
-            gs = np.transpose(gs, (0, 2, 3, 1))  # NCHW
-        else:
-            raise ValueError(f"gs_score shape {gs.shape} does not match the "
-                             f"latent grid ({h}, {w}) in NHWC or NCHW layout")
+        gs = self._normalize_gs(gs_score, h, w)
         num_blobs = gs.shape[-1] - 1
 
         # DINOv2 appearance feature splat. With M>1 blobs, fg_image may be a
@@ -681,19 +676,7 @@ class BlobNetPipeline:
         if fg_dino_feats is None:
             assert self.dino_params is not None, \
                 "DINOv2 params required unless fg_dino_feats is given"
-            if isinstance(fg_image, (list, tuple)):
-                fg_images = fg_image
-            elif (not hasattr(fg_image, "convert")
-                  and np.asarray(fg_image).ndim == 4):
-                fg_images = list(np.asarray(fg_image))  # batched ndarray
-            else:
-                fg_images = [fg_image]
-            dino_in = []
-            for im in fg_images:
-                if hasattr(im, "convert"):
-                    dino_in.append(np.asarray(im.convert("RGB"), np.uint8))
-                else:
-                    dino_in.append(np.asarray(im, np.uint8))
+            dino_in = self._dino_uint8_list(fg_image)
             px = dino_lib.preprocess(np.stack(dino_in), size=self.dino_image_size)
             pooled = self._encode_dino(jnp.asarray(px))  # (M', Cd)
         else:
@@ -768,12 +751,230 @@ class BlobNetPipeline:
         out = edit(self._conv_params("unet_params"),
                    self._conv_params("blobnet_params"),
                    self._conv_params("vae_params"),
-                   fg, bg, gs, pooled, pe, latents,
+                   fg, bg, gs, pooled[None], pe, latents,
                    jnp.asarray(cond_scales),
                    jnp.asarray(float(guidance_scale), jnp.float32),
                    jnp.asarray(key_mask),
                    jnp.asarray(cfg_mask),
                    jax.random.fold_in(key, 0x5de))
+
+        if output_type == "latent":
+            return PipelineOutput(images=np.asarray(out))
+        images = np.asarray(out).astype(np.float32) / 255.0
+        has_nsfw = None
+        if self.safety_checker is not None:
+            has_nsfw = np.asarray(self.safety_checker(images))
+            if self.blackout_nsfw:
+                images = images.copy()
+                images[has_nsfw] = 0.0
+        return PipelineOutput(images=images, nsfw_content_detected=has_nsfw)
+
+    # ------------------------------------------------------------------
+    # batched distinct edits (production serving path)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _normalize_gs(gs_score, h: int, w: int) -> np.ndarray:
+        """gs_score in NHWC (…,h,w,M+1) or NCHW (…,M+1,h,w), with or without
+        the leading batch dim → (1, h, w, M+1) float32 NHWC."""
+        gs = np.asarray(gs_score, np.float32)
+        if gs.ndim == 3:
+            gs = gs[None]
+        # exact layout check against the known latent grid
+        if gs.shape[1] == h and gs.shape[2] == w:
+            pass  # NHWC
+        elif gs.shape[2] == h and gs.shape[3] == w:
+            gs = np.transpose(gs, (0, 2, 3, 1))  # NCHW
+        else:
+            raise ValueError(f"gs_score shape {gs.shape} does not match the "
+                             f"latent grid ({h}, {w}) in NHWC or NCHW layout")
+        return gs
+
+    @staticmethod
+    def _dino_uint8_list(fg_image) -> list:
+        """fg_image (PIL / ndarray / list of either / batched (M,H,W,3)
+        ndarray) → list of uint8 HWC arrays for DINOv2 preprocessing."""
+        if isinstance(fg_image, (list, tuple)):
+            fg_images = fg_image
+        elif (not hasattr(fg_image, "convert")
+              and np.asarray(fg_image).ndim == 4):
+            fg_images = list(np.asarray(fg_image))  # batched ndarray
+        else:
+            fg_images = [fg_image]
+        out = []
+        for im in fg_images:
+            if hasattr(im, "convert"):
+                out.append(np.asarray(im.convert("RGB"), np.uint8))
+            else:
+                out.append(np.asarray(im, np.uint8))
+        return out
+
+    def edit_batch(self, requests: List[dict],
+                   height: int = 512, width: int = 512,
+                   num_inference_steps: int = 50,
+                   guidance_scale: float = 7.5,
+                   blobnet_conditioning_scale: float = 1.0,
+                   blobnet_control_guidance_start: float = 0.0,
+                   blobnet_control_guidance_end: float = 1.0,
+                   clip_skip: Optional[int] = None,
+                   scheduler: str = "unipc",
+                   output_type: str = "np") -> PipelineOutput:
+        """Runs B *distinct* edits as ONE batched device program — the
+        production serving path (dynamic micro-batching in apps/server.py).
+
+        The reference stack has no analog: its pipeline batches only
+        ``num_images_per_prompt`` samples of a single edit
+        (pipeline_blobnet.py:743-773). On TPU the per-image step cost is flat
+        in batch (PERF_NOTES "Batch scaling"), so batching distinct requests
+        amortizes the fixed encode/decode/dispatch cost and serves N
+        concurrent users in one graph execution.
+
+        ``requests``: list of dicts, each with keys
+          prompt (str), negative_prompt (str, optional), fg_image, bg_image,
+          gs_score, seed (int, optional), fg_dino_feats (optional (M, Cd)),
+          fg_vae_image (optional, multi-blob combined canvas).
+        All requests share the sampler configuration (the keyword arguments)
+        and must carry the same blob count M — the server groups compatible
+        requests before calling this.
+
+        Determinism: with a deterministic scheduler (unipc/ddim/dpm
+        non-SDE), each batched edit is numerically equivalent to running the
+        same request alone with the same seed (initial noise is drawn
+        per-request from PRNGKey(seed), exactly as __call__ does). With
+        sde-dpmsolver++ the per-step variance noise is drawn at the batched
+        shape from the FIRST request's key, so batched results differ from
+        solo runs (documented, not silent: stochastic trajectories never
+        bit-match across batch shapes in the torch reference either).
+        """
+        B = len(requests)
+        if B == 0:
+            raise ValueError("edit_batch needs at least one request")
+        do_cfg = guidance_scale > 1.0
+        h, w = height // 8, width // 8
+
+        if any("prompt_embeds" in r for r in requests):
+            # pre-computed text embeddings (embedding-only pipelines / tests)
+            def row(r, key):
+                v = r.get(key)
+                if v is None:
+                    raise ValueError(f"all requests must carry {key} when "
+                                     "any does (mixed batches would need a "
+                                     "tokenizer for the rest)")
+                v = np.asarray(v, np.float32)
+                return v[0] if v.ndim == 3 else v
+            pe_arr = np.stack([row(r, "prompt_embeds") for r in requests])
+            npe_arr = None
+            if do_cfg:
+                npe_arr = np.stack(
+                    [row(r, "negative_prompt_embeds") for r in requests])
+            pe = self.encode_prompt(None, None, 1, do_cfg, clip_skip,
+                                    pe_arr, npe_arr)
+        else:
+            prompts = [r.get("prompt") or "" for r in requests]
+            negatives = [r.get("negative_prompt") or "" for r in requests]
+            pe = self.encode_prompt(prompts, negatives, 1, do_cfg, clip_skip)
+
+        # per-request initial noise, drawn exactly as the single-edit path
+        import os as _os
+        lats = []
+        key0 = None
+        for r in requests:
+            seed = r.get("seed")
+            if seed is None:
+                seed = int.from_bytes(_os.urandom(4), "little")
+            k = jax.random.PRNGKey(seed)
+            if key0 is None:
+                key0 = k
+            lats.append(jax.random.normal(k, (1, h, w, 4), jnp.float32))
+        latents = jnp.concatenate(lats, axis=0)
+
+        fgs, bgs, gss = [], [], []
+        for r in requests:
+            fg_image = r["fg_image"]
+            fg_vae = r.get("fg_vae_image")
+            if fg_vae is None:
+                fg_vae = (fg_image[0]
+                          if isinstance(fg_image, (list, tuple)) else fg_image)
+            fgs.append(preprocess_image(fg_vae, height, width))
+            bgs.append(preprocess_image(r["bg_image"], height, width))
+            gss.append(self._normalize_gs(r["gs_score"], h, w))
+        fg = jnp.concatenate([jnp.asarray(x) for x in fgs], axis=0)
+        bg = jnp.concatenate([jnp.asarray(x) for x in bgs], axis=0)
+        gs_np = np.concatenate(gss, axis=0)
+        num_blobs = gs_np.shape[-1] - 1
+        if any(g.shape[-1] - 1 != num_blobs for g in gss):
+            raise ValueError("all requests in a batch must carry the same "
+                             "blob count M")
+
+        # appearance embeddings: one DINOv2 dispatch for every image in the
+        # batch (each device call costs ~30 ms through the tunnel)
+        pooled_rows: List[Optional[np.ndarray]] = [None] * B
+        to_encode, spans = [], []
+        for b, r in enumerate(requests):
+            feats = r.get("fg_dino_feats")
+            if feats is not None:
+                f = np.asarray(feats, np.float32)
+                if f.ndim == 3:
+                    f = f[:, 0]
+                if f.ndim == 1:
+                    f = f[None]
+                pooled_rows[b] = f
+            else:
+                assert self.dino_params is not None, \
+                    "DINOv2 params required unless fg_dino_feats is given"
+                imgs = self._dino_uint8_list(r["fg_image"])
+                spans.append((b, len(imgs)))
+                to_encode.extend(imgs)
+        if to_encode:
+            px = dino_lib.preprocess(np.stack(to_encode),
+                                     size=self.dino_image_size)
+            enc = np.asarray(self._encode_dino(jnp.asarray(px)))
+            off = 0
+            for b, m in spans:
+                pooled_rows[b] = enc[off:off + m]
+                off += m
+        rows = []
+        for b, f in enumerate(pooled_rows):
+            if f.shape[0] == 1 and num_blobs > 1:
+                f = np.tile(f, (num_blobs, 1))
+            assert f.shape[0] == num_blobs, \
+                (f"request {b}: {f.shape[0]} appearance embeddings for "
+                 f"{num_blobs} blobs")
+            rows.append(f)
+        pooled = jnp.asarray(np.stack(rows))  # (B, M, Cd)
+
+        cond_scales = (blobnet_keep_schedule(num_inference_steps,
+                                             blobnet_control_guidance_start,
+                                             blobnet_control_guidance_end)
+                       * float(blobnet_conditioning_scale))
+        use_blobnet = bool(np.any(cond_scales != 0.0))
+        gs = jnp.asarray(gs_np)
+
+        if self.mesh is not None:
+            from blobctrl_tpu.parallel import mesh as mesh_lib
+            data_size = self.mesh.shape["data"]
+
+            def put(x):
+                if x.shape[0] % data_size == 0:
+                    return jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
+                return jax.device_put(x, mesh_lib.replicated(self.mesh))
+
+            latents, pe = put(latents), put(pe)
+            fg, bg, gs = put(fg), put(bg), put(gs)
+
+        edit, _ = self._get_edit_fn(scheduler, num_inference_steps, do_cfg,
+                                    use_blobnet,
+                                    decode=output_type != "latent")
+        key_mask = np.ones(num_inference_steps, bool)
+        out = edit(self._conv_params("unet_params"),
+                   self._conv_params("blobnet_params"),
+                   self._conv_params("vae_params"),
+                   fg, bg, gs, pooled, pe, latents,
+                   jnp.asarray(cond_scales),
+                   jnp.asarray(float(guidance_scale), jnp.float32),
+                   jnp.asarray(key_mask),
+                   jnp.asarray(key_mask),
+                   jax.random.fold_in(key0, 0x5de))
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(out))

@@ -276,3 +276,66 @@ def test_int8_conv_mode_prequantized_pipeline(tiny):
     finally:
         conv_mod.set_conv_int8(False)
         resnet.set_conv_backend("auto")
+
+
+@pytest.mark.slow
+def test_edit_batch_matches_single_runs(tiny):
+    """B distinct edits batched into one device program (the production
+    serving path) reproduce each request's solo result: per-request seeds,
+    prompts, conditioning images, scores, and appearance embeddings all
+    stay independent across the batch dim (no analog in the reference —
+    pipeline_blobnet.py batches only samples of ONE edit)."""
+    rng = np.random.RandomState(11)
+    pipe = BlobNetPipeline(**tiny)
+    H = W = 64
+    lh = lw = 8
+    reqs = []
+    for i in range(3):
+        fg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        bg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        gs = np.stack([np.ones((1, lh, lw)), rng.rand(1, lh, lw)],
+                      -1).astype(np.float32)
+        reqs.append(dict(
+            fg_image=fg, bg_image=bg, gs_score=gs, seed=100 + i,
+            prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+            negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+            fg_dino_feats=rng.randn(1, 16).astype(np.float32)))
+    batched = pipe.edit_batch(reqs, height=H, width=W,
+                              num_inference_steps=3,
+                              guidance_scale=7.5).images
+    assert batched.shape == (3, H, W, 3)
+    for i, r in enumerate(reqs):
+        solo = pipe(fg_image=r["fg_image"], bg_image=r["bg_image"],
+                    gs_score=r["gs_score"], height=H, width=W,
+                    num_inference_steps=3, guidance_scale=7.5,
+                    prompt_embeds=r["prompt_embeds"],
+                    negative_prompt_embeds=r["negative_prompt_embeds"],
+                    fg_dino_feats=r["fg_dino_feats"], seed=100 + i).images
+        # fp32 batch-invariant math; images are uint8-quantized so allow one
+        # quantization-boundary flip
+        np.testing.assert_allclose(batched[i], solo[0], atol=0.005)
+    # distinct requests actually produced distinct images
+    assert np.abs(batched[0] - batched[1]).mean() > 0.01
+
+
+@pytest.mark.slow
+def test_edit_batch_remove_mode(tiny):
+    """Batched remove-mode requests (strength 0 -> statically UNet-only
+    graph, bg-only score) run and return finite images."""
+    rng = np.random.RandomState(13)
+    pipe = BlobNetPipeline(**tiny)
+    H = W = 64
+    gs_remove = np.concatenate([np.ones((1, 8, 8, 1), np.float32),
+                                np.zeros((1, 8, 8, 1), np.float32)], -1)
+    reqs = []
+    for i in range(2):
+        img = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        reqs.append(dict(fg_image=img, bg_image=img, gs_score=gs_remove,
+                         seed=i,
+                         prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+                         negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+                         fg_dino_feats=rng.randn(1, 16).astype(np.float32)))
+    out = pipe.edit_batch(reqs, height=H, width=W, num_inference_steps=2,
+                          blobnet_conditioning_scale=0.0).images
+    assert out.shape == (2, H, W, 3)
+    assert np.isfinite(out).all()

@@ -169,3 +169,83 @@ def test_cold_shape_rejection(server):
         assert code == 400 and "scheduler" in resp["error"]
     finally:
         service.warm_steps = None   # restore dev-mode for other tests
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    """Second service over the same tiny-model family with dynamic
+    micro-batching on (max_batch=4, generous window for CI timing)."""
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    pipe = BlobNetPipeline(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+    service, httpd = serve(pipe, host="127.0.0.1", port=0, size=64,
+                           warmup_steps=None, max_batch=4,
+                           batch_window_ms=1500.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_dynamic_micro_batching(batch_server):
+    """Concurrent compatible requests coalesce into one edit_batch device
+    program; each caller gets its own image and the response reports the
+    batch size. Remove-mode requests bypass the batcher (solo path)."""
+    base, service = batch_server
+    rng = np.random.RandomState(3)
+    payloads = []
+    for i in range(3):
+        img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+        payloads.append({
+            "fg_image": _b64_png(img), "bg_image": _b64_png(img),
+            "ellipse": [32, 32, 20, 28, 10.0 * i],
+            "num_inference_steps": 2, "seed": 40 + i, "size": 64,
+            "prompt_embeds": rng.randn(1, 7, 16).tolist(),
+            "negative_prompt_embeds": rng.randn(1, 7, 16).tolist(),
+            "fg_dino_feats": rng.randn(1, 16).tolist(),
+        })
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = _post(base + "/v1/edit", payloads[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for code, resp in results:
+        assert code == 200, resp
+        assert resp["batch_size"] >= 1
+    assert service.batched_requests == 3
+    # with a 1.5 s window all three should land in one batch (padded to the
+    # warm size 4 on the device side)
+    assert service.batches_run == 1
+    assert {r[1]["batch_size"] for r in results} == {3}
+    # distinct ellipses/seeds -> distinct images
+    assert len({r[1]["images"][0] for r in results}) == 3
+    # a lone repeat of payload 0 (a size-1 "batch", padded on device to the
+    # warm size) reproduces its batched image bit-exactly — per-row results
+    # are independent of the batch composition
+    code, resp = _post(base + "/v1/edit", payloads[0])
+    assert code == 200
+    assert resp["images"][0] == results[0][1]["images"][0]
+    assert service.batched_requests == 4
+    # remove mode bypasses the batcher (solo path, no batch_size field)
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    code, resp = _post(base + "/v1/edit", {
+        "fg_image": _b64_png(img), "bg_image": _b64_png(img),
+        "remove": True, "num_inference_steps": 2, "size": 64,
+        "prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "negative_prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "fg_dino_feats": rng.randn(1, 16).tolist()})
+    assert code == 200
+    assert "batch_size" not in resp
+    assert service.batched_requests == 4  # remove ran solo, not batched
