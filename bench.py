@@ -144,6 +144,38 @@ def main():
         run_remove()
         remove_sec = timed_median(run_remove)
 
+    # distinct-edit micro-batch (the serving path, pipeline.edit_batch): B
+    # DIFFERENT requests in one device program. Single-chip this amortizes
+    # the fixed encode/decode/dispatch cost; on a data mesh the batch shards
+    # 1-per-chip (see PERF_NOTES "Distinct-edit micro-batching")
+    eb_sec = None
+    eb = int(os.environ.get("BENCH_EDIT_BATCH", "4"))
+    if eb > 1:
+        rng = np.random.RandomState(0)
+        reqs = []
+        for i in range(eb):
+            r = dict(fg_image=rng.randint(0, 255, (size, size, 3)
+                                          ).astype(np.uint8),
+                     bg_image=rng.randint(0, 255, (size, size, 3)
+                                          ).astype(np.uint8),
+                     gs_score=kw["gs_score"], seed=i)
+            for k in ("prompt_embeds", "negative_prompt_embeds",
+                      "fg_dino_feats"):
+                if k in kw:
+                    r[k] = kw[k]
+            reqs.append(r)
+        shared = dict(height=size, width=size, num_inference_steps=steps,
+                      guidance_scale=kw.get("guidance_scale", 7.5),
+                      blobnet_conditioning_scale=kw.get(
+                          "blobnet_conditioning_scale", 1.2))
+
+        def run_eb():
+            return pipe.edit_batch(reqs, **shared).images
+        print("bench: warming distinct-batch graph", file=sys.stderr,
+              flush=True)
+        run_eb()
+        eb_sec = timed_median(run_eb)
+
     baseline_img_s_chip = 1.0 / 1.5 / 4.0
     print(json.dumps({
         "metric": f"img/s/chip, {steps}-step {size}^2 SD1.5+BlobNet edit (bf16, CFG, UniPC)",
@@ -157,6 +189,9 @@ def main():
         "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,
         "cfg_interval_edit_seconds": round(cfgint_sec, 4) if cfgint_sec else None,
         "int8_edit_seconds": round(int8_sec, 4) if int8_sec else None,
+        "distinct_batch4_seconds": round(eb_sec, 4) if eb_sec else None,
+        "distinct_batch4_img_s_chip": (round(eb / eb_sec, 4)
+                                       if eb_sec else None),
         "device": str(jax.devices()[0]),
     }))
 

@@ -39,6 +39,12 @@ def build_parser():
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="EMA shadow of the trainables (0 = off; typical "
                         "0.999); exports use the EMA weights when enabled")
+    p.add_argument("--lr_warmup_steps", type=int, default=0,
+                   help="linear LR warmup from 0 over this many steps")
+    p.add_argument("--lr_schedule", choices=("constant", "cosine"),
+                   default="constant",
+                   help="constant (after warmup) or warmup->cosine decay "
+                        "over --steps")
     p.add_argument("--full_finetune", action="store_true",
                    help="train the full base UNet instead of a LoRA adapter "
                         "(TrainConfig.train_unet_full; fits one v5e at 512^2 "
@@ -127,7 +133,10 @@ def main():
 
     cfg = ts.TrainConfig(learning_rate=args.learning_rate,
                          train_unet_full=args.full_finetune,
-                         ema_decay=args.ema_decay)
+                         ema_decay=args.ema_decay,
+                         lr_warmup_steps=args.lr_warmup_steps,
+                         lr_schedule=args.lr_schedule,
+                         lr_total_steps=args.steps)
     key = jax.random.PRNGKey(0)
     # trainable master weights must be fp32 — bf16 masters round away ~1e-5
     # AdamW updates (compute still runs in bf16 via TrainConfig.compute_dtype)

@@ -50,12 +50,43 @@ class TrainConfig:
     # typical 0.999-0.9999. The shadow lives in state["ema"] and is
     # checkpointed with the rest of the state.
     ema_decay: float = 0.0
+    # Learning-rate schedule: "constant" (after linear warmup) or "cosine"
+    # (linear warmup -> cosine decay over lr_total_steps down to
+    # lr_end_factor * learning_rate). Warmup of 0 with "constant" is a flat
+    # scalar LR (the historical layout: no schedule-count leaf in
+    # opt_state); any schedule adds optax's ScaleByScheduleState count, so
+    # switching schedule on/off changes the checkpoint layout — keep the
+    # flags stable across a resumed run.
+    lr_warmup_steps: int = 0
+    lr_schedule: str = "constant"
+    lr_total_steps: int = 0          # required (> 0) for "cosine"
+    lr_end_factor: float = 0.0
+
+
+def make_lr(cfg: TrainConfig):
+    """Scalar LR or an optax schedule per TrainConfig (see fields above)."""
+    if cfg.lr_schedule == "cosine":
+        if cfg.lr_total_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs lr_total_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=cfg.learning_rate,
+            warmup_steps=cfg.lr_warmup_steps,
+            decay_steps=cfg.lr_total_steps,
+            end_value=cfg.lr_end_factor * cfg.learning_rate)
+    if cfg.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                         "(constant | cosine)")
+    if cfg.lr_warmup_steps > 0:
+        # linear_schedule holds the end value after transition_steps
+        return optax.linear_schedule(0.0, cfg.learning_rate,
+                                     cfg.lr_warmup_steps)
+    return cfg.learning_rate
 
 
 def make_optimizer(cfg: TrainConfig):
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+        optax.adamw(make_lr(cfg), weight_decay=cfg.weight_decay),
     )
 
 
@@ -150,8 +181,11 @@ def make_train_step(cfg: TrainConfig, unet_cfg: unet_lib.UNetConfig,
             d = cfg.ema_decay
             new_state["ema"] = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1.0 - d) * p, state["ema"], params)
+        lr = make_lr(cfg)
         metrics = {"loss": loss,
-                   "grad_norm": optax.global_norm(grads)}
+                   "grad_norm": optax.global_norm(grads),
+                   "lr": (lr(state["step"]) if callable(lr)
+                          else jnp.asarray(lr, jnp.float32))}
         return new_state, metrics
 
     return train_step

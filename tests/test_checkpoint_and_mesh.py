@@ -171,3 +171,44 @@ def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):
     (tmp_path / "not_a_step").mkdir()
     assert ckpt.latest_step(str(tmp_path)) == 5
     assert ckpt.latest_step(str(tmp_path / "missing")) is None
+
+
+@pytest.mark.slow
+def test_edit_batch_dp_sharded_matches_unsharded():
+    """The serving path on a data mesh: a batch of 4 DISTINCT edits shards
+    1-per-chip over data=4 (pipeline.edit_batch puts batch-major tensors on
+    the data axis), so a v5e-4 serves 4 users at one-edit latency. Must
+    equal the unsharded batch."""
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    kwargs = dict(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+
+    rng = np.random.RandomState(5)
+    H = W = 64
+    reqs = []
+    for i in range(4):
+        gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)],
+                      -1).astype(np.float32)
+        reqs.append(dict(
+            fg_image=rng.randint(0, 255, (H, W, 3)).astype(np.uint8),
+            bg_image=rng.randint(0, 255, (H, W, 3)).astype(np.uint8),
+            gs_score=gs, seed=20 + i,
+            prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+            negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+            fg_dino_feats=rng.randn(1, 16).astype(np.float32)))
+    shared = dict(height=H, width=W, num_inference_steps=2,
+                  guidance_scale=7.5)
+
+    ref = BlobNetPipeline(**kwargs).edit_batch(reqs, **shared).images
+
+    mesh = mesh_lib.make_mesh(data=4)
+    pipe = BlobNetPipeline(mesh=mesh, **kwargs).shard_to_mesh()
+    with mesh:
+        got = pipe.edit_batch(reqs, **shared).images
+    np.testing.assert_allclose(got, ref, atol=1.01 / 255.0)

@@ -186,3 +186,53 @@ def test_ema_shadow_follows_update_rule():
         state, _ = step_fn(state, unet_params, batch, jax.random.PRNGKey(i))
     flat = jax.tree_util.tree_leaves(state["ema"])
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_lr_schedules():
+    """make_lr: warmup ramps linearly from 0 to peak and holds; cosine
+    decays from the peak to end_factor * peak over lr_total_steps; bad
+    configs raise; constant/cosine optimizer states share one layout
+    (checkpoints interchangeable across schedule changes)."""
+    peak = 1e-3
+    cfg_w = ts.TrainConfig(learning_rate=peak, lr_warmup_steps=10)
+    lr = ts.make_lr(cfg_w)
+    assert float(lr(0)) == 0.0
+    np.testing.assert_allclose(float(lr(5)), peak / 2, rtol=1e-6)
+    np.testing.assert_allclose(float(lr(10)), peak, rtol=1e-6)
+    np.testing.assert_allclose(float(lr(500)), peak, rtol=1e-6)  # holds
+
+    cfg_c = ts.TrainConfig(learning_rate=peak, lr_warmup_steps=10,
+                           lr_schedule="cosine", lr_total_steps=100,
+                           lr_end_factor=0.1)
+    lr_c = ts.make_lr(cfg_c)
+    assert float(lr_c(0)) == 0.0
+    np.testing.assert_allclose(float(lr_c(10)), peak, rtol=1e-6)
+    assert float(lr_c(55)) < peak
+    np.testing.assert_allclose(float(lr_c(100)), 0.1 * peak, rtol=1e-5)
+
+    # flat-scalar fast path
+    assert ts.make_lr(ts.TrainConfig(learning_rate=peak)) == peak
+
+    with pytest.raises(ValueError, match="lr_total_steps"):
+        ts.make_lr(ts.TrainConfig(lr_schedule="cosine"))
+    with pytest.raises(ValueError, match="unknown lr_schedule"):
+        ts.make_lr(ts.TrainConfig(lr_schedule="linear"))
+
+
+@pytest.mark.slow
+def test_train_step_reports_scheduled_lr():
+    unet_cfg, blobnet_cfg = flagship.tiny_configs()
+    key = jax.random.PRNGKey(0)
+    unet_params = unet_lib.init_unet(key, unet_cfg)
+    blobnet_params = blobnet_lib.init_blobnet(key, blobnet_cfg)
+    lora_params = lora_lib.init_lora(key, unet_params, rank=4)
+
+    cfg = ts.TrainConfig(learning_rate=1e-3, compute_dtype=jnp.float32,
+                         remat=False, lr_warmup_steps=4)
+    state = ts.init_train_state(cfg, blobnet_params, lora_params)
+    step_fn = ts.make_train_step(cfg, unet_cfg, blobnet_cfg)
+    batch = make_batch(np.random.RandomState(0), B=2)
+    state, m0 = step_fn(state, unet_params, batch, jax.random.PRNGKey(7))
+    assert float(m0["lr"]) == 0.0            # warmup step 0
+    state, m1 = step_fn(state, unet_params, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m1["lr"]), 1e-3 / 4, rtol=1e-6)
