@@ -900,11 +900,11 @@ class BlobNetPipeline:
             gss.append(self._normalize_gs(r["gs_score"], h, w))
         fg = jnp.concatenate([jnp.asarray(x) for x in fgs], axis=0)
         bg = jnp.concatenate([jnp.asarray(x) for x in bgs], axis=0)
-        gs_np = np.concatenate(gss, axis=0)
-        num_blobs = gs_np.shape[-1] - 1
+        num_blobs = gss[0].shape[-1] - 1
         if any(g.shape[-1] - 1 != num_blobs for g in gss):
             raise ValueError("all requests in a batch must carry the same "
                              "blob count M")
+        gs_np = np.concatenate(gss, axis=0)
 
         # appearance embeddings: one DINOv2 dispatch for every image in the
         # batch (each device call costs ~30 ms through the tunnel)

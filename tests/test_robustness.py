@@ -339,3 +339,28 @@ def test_edit_batch_remove_mode(tiny):
                           blobnet_conditioning_scale=0.0).images
     assert out.shape == (2, H, W, 3)
     assert np.isfinite(out).all()
+
+
+def test_edit_batch_validation(tiny):
+    """Mixed blob counts and mixed embeds/tokenizer batches raise clearly."""
+    rng = np.random.RandomState(17)
+    pipe = BlobNetPipeline(**tiny)
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    base = dict(fg_image=img, bg_image=img, seed=0,
+                prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+                negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+                fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+    gs1 = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)],
+                   -1).astype(np.float32)
+    gs2 = np.concatenate([gs1, rng.rand(1, 8, 8, 1).astype(np.float32)], -1)
+    with pytest.raises(ValueError, match="blob count"):
+        pipe.edit_batch([dict(base, gs_score=gs1), dict(base, gs_score=gs2)],
+                        height=64, width=64, num_inference_steps=1)
+    with pytest.raises(ValueError, match="prompt_embeds"):
+        no_pe = {k: v for k, v in base.items()
+                 if k not in ("prompt_embeds", "negative_prompt_embeds")}
+        pipe.edit_batch([dict(base, gs_score=gs1),
+                         dict(no_pe, gs_score=gs1, prompt="x")],
+                        height=64, width=64, num_inference_steps=1)
+    with pytest.raises(ValueError, match="at least one"):
+        pipe.edit_batch([], height=64, width=64)
