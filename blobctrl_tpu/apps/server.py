@@ -142,11 +142,14 @@ class EditService:
         # log2(max_batch) programs.
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = batch_window_ms / 1000.0
+        # powers of two, PLUS max_batch itself when it is not one (a batch
+        # can reach max_batch, so a warm size must cover it)
         self.warm_batch_sizes = []
         s = 1
-        while s <= self.max_batch:
+        while s < self.max_batch:
             self.warm_batch_sizes.append(s)
             s *= 2
+        self.warm_batch_sizes.append(self.max_batch)
         self.batches_run = 0
         self.batched_requests = 0
         self._queue: collections.deque = collections.deque()
@@ -280,19 +283,33 @@ class EditService:
 
         per = dict(fg_image=fg, bg_image=bg, gs_score=gs,
                    seed=req.get("seed"))
+        # embed shapes are checked HERE (per request) so a malformed request
+        # 400s alone instead of erroring the whole micro-batch it joined
+        ctx = self.pipeline.unet_cfg.cross_attention_dim
         if "prompt_embeds" in req:
-            per["prompt_embeds"] = np.asarray(req["prompt_embeds"],
-                                              np.float32)
-            if "negative_prompt_embeds" in req:
-                per["negative_prompt_embeds"] = np.asarray(
-                    req["negative_prompt_embeds"], np.float32)
+            for k in ("prompt_embeds", "negative_prompt_embeds"):
+                if k not in req:
+                    continue
+                v = np.asarray(req[k], np.float32)
+                if v.ndim not in (2, 3) or v.shape[-1] != ctx:
+                    raise ValueError(
+                        f"{k} must be (seq, {ctx}) or (1, seq, {ctx}); "
+                        f"got {v.shape}")
+                per[k] = v
         else:
             per["prompt"] = req.get("prompt", "")
             if req.get("negative_prompt") is not None:
                 per["negative_prompt"] = req["negative_prompt"]
         if "fg_dino_feats" in req:
-            per["fg_dino_feats"] = np.asarray(req["fg_dino_feats"],
-                                              np.float32)
+            dc = self.pipeline.blobnet_cfg.conditioning_channels - 1
+            v = np.asarray(req["fg_dino_feats"], np.float32)
+            num_blobs = gs.shape[-1] - 1
+            if (v.ndim not in (1, 2) or v.shape[-1] != dc
+                    or (v.ndim == 2 and v.shape[0] not in (1, num_blobs))):
+                raise ValueError(
+                    f"fg_dino_feats must be (M={num_blobs}, {dc}); "
+                    f"got {v.shape}")
+            per["fg_dino_feats"] = v
 
         shared = dict(
             height=size, width=size, num_inference_steps=steps,
@@ -320,8 +337,12 @@ class EditService:
                     and not extras["remove"])
         if not eligible:
             return self._edit_solo(per, shared, extras)
-        group = (tuple(sorted(shared.items())), "prompt_embeds" in per,
-                 extras["gs_channels"])
+        pe = per.get("prompt_embeds")
+        group = (tuple(sorted(shared.items())), extras["gs_channels"],
+                 # embeds batch only with same-seq-length embeds (stacked
+                 # into one array); string prompts tokenize to a fixed length
+                 None if pe is None else pe.shape[-2],
+                 "negative_prompt_embeds" in per)
         item = _BatchItem(group, per, shared)
         with self._queue_cv:
             self._queue.append(item)
