@@ -249,3 +249,39 @@ def test_dynamic_micro_batching(batch_server):
     assert code == 200
     assert "batch_size" not in resp
     assert service.batched_requests == 4  # remove ran solo, not batched
+
+
+@pytest.mark.slow
+def test_batch_error_propagates_to_all_waiters(batch_server):
+    """A device-level failure inside a micro-batch surfaces to every waiting
+    caller as an error response (no hung requests, batcher stays alive)."""
+    base, service = batch_server
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    # sneak a malformed per-request payload PAST _parse by corrupting the
+    # queue item directly: simulate an unexpected pipeline failure
+    payload = {
+        "fg_image": _b64_png(img), "bg_image": _b64_png(img),
+        "ellipse": [32, 32, 20, 28, 0], "num_inference_steps": 2,
+        "seed": 1, "size": 64,
+        "prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "negative_prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "fg_dino_feats": rng.randn(1, 16).tolist(),
+    }
+    real_edit_batch = service.pipeline.edit_batch
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("synthetic device failure")
+
+    service.pipeline.edit_batch = boom
+    try:
+        code, resp = _post(base + "/v1/edit", payload)
+        assert code == 500 and "synthetic device failure" in resp["error"]
+        assert calls["n"] == 1
+    finally:
+        service.pipeline.edit_batch = real_edit_batch
+    # batcher thread survived: the same request now succeeds
+    code, resp = _post(base + "/v1/edit", payload)
+    assert code == 200 and resp["batch_size"] == 1
