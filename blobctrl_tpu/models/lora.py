@@ -84,18 +84,30 @@ def merge_lora(unet_params, lora: Dict[str, Any], scale: float = 1.0,
 
     new_params = copy_structure(unet_params)
     for key, ab in lora.items():
-        rank = ab["A"].shape[1]
+        rank = ab["A"].shape[-1]
         eff = scale * (alpha if alpha is not None else rank) / rank
         path = [int(p) if p.isdigit() else p for p in key.split("/")]
         leaf = _get(new_params, path)
-        delta = (ab["A"] @ ab["B"]) * eff
-        if leaf["kernel"].ndim == 4:
-            # 1x1 conv target stored HWIO (1, 1, in, out): lift the linear
-            # delta onto the kernel's leading singleton spatial dims
-            assert leaf["kernel"].shape[:2] == (1, 1), (
-                f"LoRA delta for {key} is a linear map but the target "
-                f"kernel is {leaf['kernel'].shape}")
-            delta = delta[None, None]
+        if ab["A"].ndim == 4:
+            # k x k conv adapter: A is (kh, kw, in, r), B (r, out). PEFT
+            # composes conv(A) then 1x1 conv(B), whose merged kernel is
+            # delta[h,w,i,o] = sum_r A[h,w,i,r] * B[r,o] — exactly this
+            # einsum on our HWIO layout (peft/tuners/lora/layer.py
+            # Conv2d.get_delta_weight does the same via F.conv2d).
+            assert leaf["kernel"].shape[:2] == ab["A"].shape[:2], (
+                f"LoRA delta for {key} has spatial dims "
+                f"{ab['A'].shape[:2]} but the target kernel is "
+                f"{leaf['kernel'].shape}")
+            delta = jnp.einsum("hwir,ro->hwio", ab["A"], ab["B"]) * eff
+        else:
+            delta = (ab["A"] @ ab["B"]) * eff
+            if leaf["kernel"].ndim == 4:
+                # 1x1 conv target stored HWIO (1, 1, in, out): lift the
+                # linear delta onto the kernel's singleton spatial dims
+                assert leaf["kernel"].shape[:2] == (1, 1), (
+                    f"LoRA delta for {key} is a linear map but the target "
+                    f"kernel is {leaf['kernel'].shape}")
+                delta = delta[None, None]
         leaf["kernel"] = leaf["kernel"] + delta.astype(leaf["kernel"].dtype)
     return new_params
 
@@ -150,12 +162,20 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
             elif p == "processor":
                 i += 1
                 continue
+            elif (p in ("downsamplers", "upsamplers")
+                    and parts[i + 1:i + 2] == ["0"]):
+                # diffusers down_blocks.N.downsamplers.0.conv -> our
+                # down_blocks/N/downsample/conv (single sampler per block)
+                norm.append("downsample" if p == "downsamplers" else "upsample")
+                i += 2
+                continue
             else:
                 norm.append(p)
             i += 1
         path_key = "/".join(norm)
         arr = np.asarray(tensor.detach().cpu().float().numpy()
                          if hasattr(tensor, "detach") else tensor)
+        conv_a = None
         if arr.ndim == 4:
             # PEFT stores Conv2d adapters 4-D: lora_A (r, in, kh, kw),
             # lora_B (out, r, 1, 1). 1x1 kernels are linear maps — squeeze
@@ -163,20 +183,25 @@ def convert_lora_state_dict(state_dict: Dict[str, Any],
             # HWIO (1, 1, in, out) conv leaves. Diffusers SD-1.5 adapters
             # routinely carry these (proj_in/proj_out when
             # use_linear_projection=False), so this must not hard-fail.
+            # A k x k lora_A (conv1/conv2/conv_in/... targets) stays 4-D,
+            # transposed to HWIO-style (kh, kw, in, r) for merge_lora's
+            # conv-composition einsum.
             if arr.shape[2:] == (1, 1):
                 arr = arr[:, :, 0, 0]
+            elif ab == "lora_A":
+                conv_a = np.transpose(arr, (2, 3, 1, 0))
             else:
                 raise NotImplementedError(
-                    f"LoRA on a {arr.shape[2]}x{arr.shape[3]} conv not "
-                    f"supported: {key} (shape {arr.shape}) — only 1x1 "
-                    "(pointwise) conv adapters reduce to linear maps")
+                    f"LoRA lora_B on a {arr.shape[2]}x{arr.shape[3]} conv "
+                    f"not supported: {key} (shape {arr.shape}) — PEFT "
+                    "Conv2d adapters always use a 1x1 lora_B")
         elif arr.ndim != 2:
             raise NotImplementedError(
                 f"LoRA on non-linear module not supported: {key} "
                 f"(shape {arr.shape})")
         entry = out.setdefault(path_key, {})
         if ab == "lora_A":
-            entry["A"] = jnp.asarray(arr.T)
+            entry["A"] = jnp.asarray(conv_a if conv_a is not None else arr.T)
             rank = arr.shape[0]
         else:
             entry["B"] = jnp.asarray(arr.T)

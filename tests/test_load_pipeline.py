@@ -119,6 +119,17 @@ def fake_models_root(tmp_path_factory):
                 torch.randn(rank, mod.in_channels, 1, 1) * 0.1
             lora_sd[f"base_model.model.{name}.lora_B.weight"] = \
                 torch.randn(mod.out_channels, rank, 1, 1) * 0.1
+        elif (name in ("down_blocks.0.resnets.0.conv1",
+                       "down_blocks.0.downsamplers.0.conv")
+                and isinstance(mod, torch.nn.Conv2d)):
+            # k x k conv adapters (PEFT Conv2d: lora_A is a kxk conv,
+            # lora_B a 1x1) — the published adapter's targets are unknowable
+            # until download, so the drill covers these too
+            kh, kw = mod.kernel_size
+            lora_sd[f"base_model.model.{name}.lora_A.weight"] = \
+                torch.randn(rank, mod.in_channels, kh, kw) * 0.1
+            lora_sd[f"base_model.model.{name}.lora_B.weight"] = \
+                torch.randn(mod.out_channels, rank, 1, 1) * 0.1
     assert any(v.ndim == 4 for v in lora_sd.values()), "drill needs conv LoRA"
     lora_dir = root / "BlobCtrl" / "unet_lora"
     lora_dir.mkdir(parents=True)
