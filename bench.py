@@ -109,7 +109,7 @@ def main():
     # global activation scales) — the checkpoint-day quality gate is
     # `replay --all --score` under this mode; speed measured here
     int8_sec = None
-    if os.environ.get("BENCH_INT8", "0") == "1":
+    if os.environ.get("BENCH_INT8", "1") == "1":
         from blobctrl_tpu.nn import attention
         from blobctrl_tpu.ops import conv3x3 as conv_mod
         # int8 linears (layers.set_linear_int8) measured NEUTRAL e2e

@@ -180,4 +180,11 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
             load_dinov2(os.path.join(models_root, "dinov2-large")), dtype),
         tokenizer=tokenizer,
         dtype=dtype)
+    # Record the adapter so the pipeline can rescale LoRA at runtime
+    # (the reference reads cross_attention_kwargs["scale"] every step,
+    # pipeline_blobnet.py:1044-1050; here BlobNetPipeline.set_lora_scale
+    # re-merges the delta increment onto the merged weights).
+    pipe._lora_tree = lora_tree
+    pipe._lora_alpha = alpha
+    pipe._lora_scale = lora_scale
     return pipe

@@ -266,7 +266,9 @@ class BlobNetPipeline:
     def _get_edit_fn(self, scheduler_name: str, num_steps: int,
                      do_cfg: bool, use_blobnet: bool = True,
                      encoder_cache: bool = False, decode: bool = True,
-                     cfg_interval: bool = False):
+                     cfg_interval: bool = False, eta: float = 0.0,
+                     custom_timesteps: Optional[Tuple[int, ...]] = None,
+                     step_callback: bool = False):
         """One jitted graph for the WHOLE edit: batched VAE encode of both
         conditioning images, score/feature-splat prep, the denoise loop, and
         the VAE decode. Fusing the fixed path matters on top of the loop: the
@@ -283,8 +285,13 @@ class BlobNetPipeline:
                 "cfg_guidance interval is incompatible with the hybrid "
                 "CFG-data sharding recipe (cond-only steps drop the CFG "
                 "batch dim the recipe shards over)")
+        # eta only parameterizes DDIM's variance tables (diffusers mirrors
+        # this: prepare_extra_step_kwargs forwards eta only to schedulers
+        # that accept it) — normalize so unipc/dpm callers share one graph
+        eta = eta if scheduler_name == "ddim" else 0.0
         key = (scheduler_name, num_steps, do_cfg, use_blobnet, encoder_cache,
-               decode, hybrid, cfg_interval)
+               decode, hybrid, cfg_interval, eta, custom_timesteps,
+               step_callback)
         if key in self._denoise_cache:
             return self._denoise_cache[key]
 
@@ -302,9 +309,10 @@ class BlobNetPipeline:
                 return x
 
         if scheduler_name == "unipc":
-            sched = unipc_lib.make(num_steps)
+            sched = unipc_lib.make(num_steps, timesteps=custom_timesteps)
         elif scheduler_name == "ddim":
-            sched = ddim_lib.make(num_steps)
+            sched = ddim_lib.make(num_steps, eta=eta,
+                                  timesteps=custom_timesteps)
         elif scheduler_name == "dpm" or scheduler_name.startswith("dpm_"):
             # "dpm" plus any of the suffix tokens: _sde, _karras, _heun —
             # e.g. "dpm_sde_karras" = DPM++ 2M SDE Karras. Anything else
@@ -321,7 +329,8 @@ class BlobNetPipeline:
                 num_steps,
                 algorithm_type="sde-dpmsolver++" if "sde" in toks else "dpmsolver++",
                 solver_type="heun" if "heun" in toks else "midpoint",
-                use_karras_sigmas="karras" in toks)
+                use_karras_sigmas="karras" in toks,
+                timesteps=custom_timesteps)
         else:
             raise ValueError(f"unknown scheduler {scheduler_name}")
 
@@ -490,7 +499,23 @@ class BlobNetPipeline:
                             state[0].shape, jnp.float32)
                     return dpm_lib.step(sched, i, noise_pred, state,
                                         noise=noise)
-                return (ddim_lib.step(sched, i, noise_pred, state[0]),)
+                return (ddim_lib.step(
+                    sched, i, noise_pred, state[0],
+                    noise_key=noise_key if sched.eta > 0.0 else None),)
+
+            if step_callback:
+                # per-step host callback (reference callback_on_step_end,
+                # pipeline_blobnet.py:1107-1123). The jitted graph calls a
+                # bound trampoline that reads self._step_callback, so
+                # swapping the user callback never recompiles. Read-only:
+                # see __call__ for the documented divergence.
+                inner_sched_step = sched_step
+
+                def sched_step(i, noise_pred, state):
+                    new_state = inner_sched_step(i, noise_pred, state)
+                    jax.debug.callback(self._emit_step_callback, i,
+                                       sched.timesteps_jax[i], new_state[0])
+                    return new_state
 
             if not encoder_cache:
                 if cfg_interval and do_cfg:
@@ -578,6 +603,48 @@ class BlobNetPipeline:
     # public API
     # ------------------------------------------------------------------
 
+    def _emit_step_callback(self, i, t, latents):
+        """Host trampoline for callback_on_step_end (runs via
+        jax.debug.callback after each scheduler step)."""
+        cb = getattr(self, "_step_callback", None)
+        if cb is None:
+            return
+        ret = cb(self, int(i), int(t), {"latents": np.asarray(latents)})
+        if ret and not getattr(self, "_step_callback_warned", False):
+            self._step_callback_warned = True
+            import warnings
+            warnings.warn(
+                "callback_on_step_end returned tensor updates; they are "
+                "IGNORED here — the denoise loop is one compiled TPU graph, "
+                "so callbacks are read-only (progress/preview). The torch "
+                "reference would re-inject 'latents'.")
+
+    def set_lora_scale(self, scale: float):
+        """Runtime LoRA scale (the reference reads it from
+        cross_attention_kwargs['scale'] each step,
+        pipeline_blobnet.py:1044-1050). Merge-at-use is linear in scale, so
+        rescaling applies the delta increment (new - current) onto the
+        merged weights — exact up to one bf16 rounding per change. Requires
+        the pipeline to have been built by params.io.load_pipeline (which
+        records the adapter tree)."""
+        if getattr(self, "_lora_tree", None) is None:
+            raise ValueError(
+                "no LoRA adapter recorded on this pipeline — load it via "
+                "params.io.load_pipeline, or merge manually with "
+                "models.lora.merge_lora(scale=...)")
+        from blobctrl_tpu.models import lora as lora_lib
+        current = getattr(self, "_lora_scale", 1.0)
+        if scale == current:
+            return
+        self.unet_params = lora_lib.merge_lora(
+            self.unet_params, self._lora_tree, scale=scale - current,
+            alpha=self._lora_alpha)
+        self._lora_scale = scale
+        # pre-quantized int8 weight caches were built from the old weights
+        cache = getattr(self, "_int8_param_cache", None)
+        if cache:
+            cache.clear()
+
     def __call__(self, prompt: Union[str, List[str], None] = None,
                  fg_image=None, bg_image=None, gs_score=None,
                  height: int = 512, width: int = 512,
@@ -603,10 +670,30 @@ class BlobNetPipeline:
                  fg_vae_image=None,
                  ip_adapter_image=None,
                  ip_adapter_image_embeds=None,
+                 timesteps: Optional[Sequence[int]] = None,
+                 eta: float = 0.0,
+                 cross_attention_kwargs: Optional[dict] = None,
+                 callback_on_step_end: Optional[Callable] = None,
+                 callback_on_step_end_tensor_inputs: Sequence[str] = ("latents",),
                  return_sample: bool = False) -> PipelineOutput:
         """Runs one element-level edit. gs_score: (1, h, w, 2) channels-last
         [bg, fg] composited score map (see blob.math.blob_score_from_ellipse),
-        or (1, 2, h, w) NCHW which is transposed automatically."""
+        or (1, 2, h, w) NCHW which is transposed automatically.
+
+        timesteps: custom descending sampling schedule for ANY scheduler
+        (every coefficient table derives from it host-side; the reference
+        accepts this kwarg but raises for every scheduler it registers —
+        diffusers v0.30 UniPC has no custom-timestep support).
+        eta: DDIM variance (scheduler="ddim" only, like the reference's
+        prepare_extra_step_kwargs; ignored elsewhere).
+        cross_attention_kwargs: only {"scale": s} is meaningful (runtime
+        LoRA scale, reference pipeline_blobnet.py:1044-1050) — routed to
+        set_lora_scale().
+        callback_on_step_end: called after every scheduler step as
+        cb(pipe, i, t, {"latents": np.ndarray}). READ-ONLY divergence from
+        the reference: the loop is one compiled TPU graph, so returned
+        tensor updates are ignored (warned once). Fetching latents each
+        step costs device->host bandwidth — leave None for the fast path."""
         if ip_adapter_image is not None or ip_adapter_image_embeds is not None:
             raise NotImplementedError(
                 "IP-Adapter conditioning is not supported (the reference "
@@ -617,6 +704,26 @@ class BlobNetPipeline:
                 "return_sample is a dead path in the reference: it calls "
                 "blobnet.conv_norm_out/conv_act/conv_out which BlobNetModel "
                 "never defines (SURVEY.md §5 defects 1-2)")
+        if cross_attention_kwargs:
+            unknown = set(cross_attention_kwargs) - {"scale"}
+            if unknown:
+                raise NotImplementedError(
+                    f"cross_attention_kwargs keys {sorted(unknown)} not "
+                    "supported — the reference forwards them to attention "
+                    "processors, whose only BlobCtrl use is the LoRA "
+                    "'scale' (pipeline_blobnet.py:1044-1050)")
+            if cross_attention_kwargs.get("scale") is not None:
+                self.set_lora_scale(float(cross_attention_kwargs["scale"]))
+        bad = set(callback_on_step_end_tensor_inputs) - {"latents"}
+        if bad:
+            raise ValueError(
+                f"callback_on_step_end_tensor_inputs must be within "
+                f"['latents'], got {sorted(bad)} (the reference also lists "
+                "image_embeds only for the broken IP-Adapter branch)")
+        custom_timesteps = None
+        if timesteps is not None:
+            custom_timesteps = tuple(int(t) for t in timesteps)
+            num_inference_steps = len(custom_timesteps)
         do_cfg = guidance_scale > 1.0
 
         if prompt is not None and isinstance(prompt, str):
@@ -747,16 +854,29 @@ class BlobNetPipeline:
         edit, sched = self._get_edit_fn(scheduler, num_inference_steps,
                                         do_cfg, use_blobnet, encoder_cache,
                                         decode=output_type != "latent",
-                                        cfg_interval=cfg_interval)
-        out = edit(self._conv_params("unet_params"),
-                   self._conv_params("blobnet_params"),
-                   self._conv_params("vae_params"),
-                   fg, bg, gs, pooled[None], pe, latents,
-                   jnp.asarray(cond_scales),
-                   jnp.asarray(float(guidance_scale), jnp.float32),
-                   jnp.asarray(key_mask),
-                   jnp.asarray(cfg_mask),
-                   jax.random.fold_in(key, 0x5de))
+                                        cfg_interval=cfg_interval,
+                                        eta=eta,
+                                        custom_timesteps=custom_timesteps,
+                                        step_callback=callback_on_step_end
+                                        is not None)
+        self._step_callback = callback_on_step_end
+        self._step_callback_warned = False
+        try:
+            out = edit(self._conv_params("unet_params"),
+                       self._conv_params("blobnet_params"),
+                       self._conv_params("vae_params"),
+                       fg, bg, gs, pooled[None], pe, latents,
+                       jnp.asarray(cond_scales),
+                       jnp.asarray(float(guidance_scale), jnp.float32),
+                       jnp.asarray(key_mask),
+                       jnp.asarray(cfg_mask),
+                       jax.random.fold_in(key, 0x5de))
+            if callback_on_step_end is not None:
+                # debug.callback is async: make every step's callback land
+                # before returning (and before _step_callback is cleared)
+                jax.effects_barrier()
+        finally:
+            self._step_callback = None
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(out))

@@ -29,6 +29,26 @@ def alphas_cumprod_from_betas(betas: np.ndarray) -> np.ndarray:
     return np.cumprod(1.0 - betas.astype(np.float32), dtype=np.float32)
 
 
+def validate_custom_timesteps(timesteps, num_train_timesteps: int = 1000
+                              ) -> np.ndarray:
+    """Custom sampling-timestep list -> validated (S,) int64 descending array.
+
+    Mirrors the checks diffusers applies where it supports custom timesteps
+    (scheduling_dpmsolver_multistep.py set_timesteps): strictly descending,
+    within [0, num_train_timesteps)."""
+    ts = np.asarray(timesteps, dtype=np.int64)
+    if ts.ndim != 1 or ts.size == 0:
+        raise ValueError(f"timesteps must be a non-empty 1-D sequence, "
+                         f"got shape {ts.shape}")
+    if not np.all(np.diff(ts) < 0):
+        raise ValueError("custom timesteps must be strictly descending")
+    if ts[0] >= num_train_timesteps or ts[-1] < 0:
+        raise ValueError(f"custom timesteps must lie in "
+                         f"[0, {num_train_timesteps}), got "
+                         f"[{ts[-1]}, {ts[0]}]")
+    return ts
+
+
 def make_timesteps(num_inference_steps: int, num_train_timesteps: int = 1000,
                    spacing: str = "linspace", steps_offset: int = 0) -> np.ndarray:
     """Discrete sampling timesteps, descending (Table 2, arXiv:2305.08891)."""

@@ -48,14 +48,25 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
          beta_start: float = 0.00085, beta_end: float = 0.012,
          beta_schedule: str = "scaled_linear", spacing: str = "leading_ddim",
          steps_offset: int = 1, set_alpha_to_one: bool = False,
-         eta: float = 0.0) -> DDIMSchedule:
+         eta: float = 0.0, timesteps=None) -> DDIMSchedule:
     betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
-    ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
-                               spacing, steps_offset)
 
     final_acp = 1.0 if set_alpha_to_one else float(acp[0])
-    prev_ts = ts - num_train_timesteps // num_inference_steps
+    if timesteps is not None:
+        # custom sampling schedule (beyond the reference: diffusers DDIM has
+        # no custom-timestep support in v0.30). prev_t follows the schedule
+        # itself (next element; final step -> final_acp) — identical to the
+        # stride formula on the default leading_ddim grid.
+        ts = common.validate_custom_timesteps(timesteps, num_train_timesteps)
+        if len(ts) != num_inference_steps:
+            raise ValueError(f"num_inference_steps={num_inference_steps} but "
+                             f"{len(ts)} custom timesteps were given")
+        prev_ts = np.concatenate([ts[1:], [-1]])
+    else:
+        ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
+                                   spacing, steps_offset)
+        prev_ts = ts - num_train_timesteps // num_inference_steps
     acp_t = acp[ts]
     acp_prev = np.where(prev_ts >= 0, acp[np.clip(prev_ts, 0, None)], final_acp)
 

@@ -83,7 +83,7 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
          lower_order_final: bool = True, spacing: str = "linspace",
          steps_offset: int = 0, final_sigmas_type: str = "zero",
          algorithm_type: str = "dpmsolver++", solver_type: str = "midpoint",
-         use_karras_sigmas: bool = False) -> DPMSchedule:
+         use_karras_sigmas: bool = False, timesteps=None) -> DPMSchedule:
     assert algorithm_type in ("dpmsolver++", "sde-dpmsolver++"), algorithm_type
     assert solver_type in ("midpoint", "heun"), solver_type
     sde = algorithm_type == "sde-dpmsolver++"
@@ -92,7 +92,19 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
     acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
     all_sigmas = np.sqrt((1.0 - acp) / acp)
 
-    if use_karras_sigmas:
+    if timesteps is not None:
+        # custom sampling schedule; same restriction as diffusers
+        # (scheduling_dpmsolver_multistep.py set_timesteps: timesteps and
+        # karras sigmas are mutually exclusive), parity-tested vs that oracle
+        if use_karras_sigmas:
+            raise ValueError("custom timesteps cannot be combined with "
+                             "Karras sigmas")
+        ts = common.validate_custom_timesteps(timesteps, num_train_timesteps)
+        if len(ts) != num_inference_steps:
+            raise ValueError(f"num_inference_steps={num_inference_steps} but "
+                             f"{len(ts)} custom timesteps were given")
+        sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
+    elif use_karras_sigmas:
         log_sigmas = np.log(all_sigmas)
         sigmas = karras_sigmas(float(all_sigmas[0]), float(all_sigmas[-1]),
                                num_inference_steps)

@@ -109,14 +109,24 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
          prediction_type: str = "epsilon", thresholding: bool = False,
          dynamic_thresholding_ratio: float = 0.995,
          sample_max_value: float = 1.0,
-         disable_corrector: Tuple[int, ...] = ()) -> UniPCSchedule:
+         disable_corrector: Tuple[int, ...] = (),
+         timesteps=None) -> UniPCSchedule:
     if prediction_type not in ("epsilon", "v_prediction", "sample"):
         raise ValueError(f"unknown prediction_type {prediction_type!r}")
     betas = common.make_betas(num_train_timesteps, beta_start, beta_end, beta_schedule)
     acp = common.alphas_cumprod_from_betas(betas).astype(np.float64)
     all_sigmas = np.sqrt((1.0 - acp) / acp)
-    ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
-                               spacing, steps_offset)
+    if timesteps is not None:
+        # custom sampling schedule (beyond the reference: diffusers' UniPC
+        # set_timesteps has no timesteps arg in v0.30 — here every table
+        # derives from ts, so any descending schedule drops in)
+        ts = common.validate_custom_timesteps(timesteps, num_train_timesteps)
+        if len(ts) != num_inference_steps:
+            raise ValueError(f"num_inference_steps={num_inference_steps} but "
+                             f"{len(ts)} custom timesteps were given")
+    else:
+        ts = common.make_timesteps(num_inference_steps, num_train_timesteps,
+                                   spacing, steps_offset)
     S = len(ts)
     K = solver_order
 

@@ -193,6 +193,31 @@ def test_load_pipeline_and_run(fake_models_root):
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
 
+    # the adapter is recorded for runtime rescaling
+    # (cross_attention_kwargs={"scale": s} -> set_lora_scale)
+    assert pipe._lora_tree and pipe._lora_scale == 1.0
+    lora_key = next(iter(pipe._lora_tree))
+    path = [int(p) if p.isdigit() else p for p in lora_key.split("/")]
+
+    def get_kernel():
+        node = pipe.unet_params
+        for p in path:
+            node = node[p]
+        return np.asarray(node["kernel"])
+
+    raw_unet = params_io.load_sd15_unet(
+        os.path.join(fake_models_root, "stable-diffusion-v1-5", "unet"))
+    node = raw_unet
+    for p in path:
+        node = node[p]
+    pristine = np.asarray(node["kernel"])
+    merged = get_kernel()
+    assert np.abs(merged - pristine).max() > 0  # adapter is nonzero
+    pipe.set_lora_scale(0.0)
+    np.testing.assert_allclose(get_kernel(), pristine, rtol=1e-5, atol=1e-6)
+    pipe.set_lora_scale(1.0)
+    np.testing.assert_allclose(get_kernel(), merged, rtol=1e-5, atol=1e-6)
+
 
 @pytest.mark.slow
 def test_conv_shaped_lora_recognized_and_merged(fake_models_root):
