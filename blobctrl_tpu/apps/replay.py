@@ -205,7 +205,19 @@ def main():
                    help="score under the opt-in guidance-interval CFG mode "
                         "(arXiv 2404.07724), e.g. 0.15,0.75 — the quality "
                         "gate for that mode on real checkpoints")
+    p.add_argument("--score_ui", action="store_true",
+                   help="score the weight-independent recorded UI goldens "
+                        "(blob viz, edited backgrounds, ellipse masks) — "
+                        "needs no checkpoint; bit-exact for all "
+                        "state-consistent fixtures")
     args = p.parse_args()
+
+    if args.score_ui:
+        from blobctrl_tpu.apps import ui_render
+        ui_render.print_ui_score_table(
+            ui_render.score_ui_all(args.demo_root, args.name))
+        if not args.score:
+            return
 
     if args.int8:
         # matches the benched int8-everything bundle (int8 linears stay out:

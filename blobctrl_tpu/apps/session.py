@@ -194,27 +194,13 @@ class BlobCtrlSession:
 
     def tracking_overlay(self) -> np.ndarray:
         """The 'Editable Blob' view: blob splat + start marker + move
-        polyline/arrow + current-ellipse outline
-        (tracking_points_for_blob, blobctrl_app.py:1053-1127)."""
-        import cv2
-        img = np.ascontiguousarray(self.blob_visualization())
-        color = (40, 90, 230)
-        pts = [p for i, p in enumerate(self.tracking_points)
-               if i == 0 or p != self.tracking_points[i - 1]]
-        if pts:
-            cv2.drawMarker(img, tuple(pts[0]), color,
-                           markerType=cv2.MARKER_TILTED_CROSS,
-                           markerSize=20, thickness=5)
-        for i in range(len(pts) - 1):
-            a, b = tuple(pts[i]), tuple(pts[i + 1])
-            length = max(float(np.hypot(b[0] - a[0], b[1] - a[1])), 1e-6)
-            if i == len(pts) - 2:
-                cv2.arrowedLine(img, a, b, color, 2, tipLength=8 / length)
-            else:
-                cv2.line(img, a, b, color, 2)
-        (xc, yc), (d1, d2), ang = self.editor.current
-        cv2.ellipse(img, (((xc, yc)), (d1, d2), ang), color, 2)
-        return img
+        polyline/arrow + current-ellipse outline. Delegates to the
+        pixel-exact reference renderer (tracking_points_for_blob,
+        blobctrl_app.py:1053-1127; verified bit-equal to the recorded demo
+        goldens in tests/test_golden_pixels.py)."""
+        from blobctrl_tpu.apps import ui_render
+        return ui_render.render_editable_blob(
+            self.tracking_points, self.editor.entries, self.size, self.size)
 
     # ------------------------------------------------------------------
     # preview galleries (the demo's 'Original Preview' / 'Edited Preview',

@@ -1,8 +1,7 @@
 """Blob visualization: composited score maps -> RGB images, ellipse overlays.
 
 Equivalent to the reference viz path (visualize_features + BLOB_VIS_COLORS,
-/root/reference/blobctrl/utils/utils.py:244-270, blobctrl_app.py:637-650)
-with a procedurally generated palette.
+/root/reference/blobctrl/utils/utils.py:244-270, blobctrl_app.py:637-650).
 """
 
 from __future__ import annotations
@@ -15,12 +14,51 @@ import jax.numpy as jnp
 
 from blobctrl_tpu.blob import math as blob_math
 
+# The reference's 29-entry visualization palette (a constant lookup table:
+# adopted verbatim from /root/reference/blobctrl/utils/utils.py:22-53 so the
+# rendered blob maps match the recorded demo goldens pixel-for-pixel; entry 0
+# is the near-white background, entry 1 the first blob color).
+BLOB_VIS_COLORS = np.array([
+    [0.9804, 0.9451, 0.9176],
+    [1.0, 0.494, 0.357],
+    [0.961, 0.882, 0.827],
+    [0.8980, 0.5255, 0.0235],
+    [0.3647, 0.4118, 0.6941],
+    [0.3216, 0.7373, 0.6392],
+    [0.6000, 0.7882, 0.2706],
+    [0.1843, 0.5412, 0.7686],
+    [0.6471, 0.6667, 0.6000],
+    [0.8549, 0.6471, 0.1059],
+    [0.4627, 0.3059, 0.6235],
+    [0.8000, 0.3804, 0.6902],
+    [0.9294, 0.3922, 0.3529],
+    [0.1412, 0.4745, 0.4235],
+    [0.4000, 0.7725, 0.8000],
+    [0.9647, 0.8118, 0.4431],
+    [0.9725, 0.6118, 0.4549],
+    [0.8627, 0.6902, 0.9490],
+    [0.5294, 0.7725, 0.3725],
+    [0.6196, 0.7255, 0.9529],
+    [0.9961, 0.5333, 0.6941],
+    [0.7882, 0.8588, 0.4549],
+    [0.5451, 0.8784, 0.6431],
+    [0.7059, 0.5922, 0.9059],
+    [0.7020, 0.7020, 0.7020],
+    [0.5216, 0.3608, 0.4588],
+    [0.8510, 0.6863, 0.4196],
+    [0.6863, 0.3922, 0.3451],
+    [0.4510, 0.4353, 0.298],
+], dtype=np.float32)
+
 
 def default_palette(n: int = 29) -> np.ndarray:
-    """(n, 3) float palette in [0,1]: a near-white background color followed
-    by evenly spaced hues."""
-    colors = [(0.98, 0.945, 0.918)]
-    for i in range(n - 1):
+    """(n, 3) float palette in [0,1]. The first 29 entries are the
+    reference's BLOB_VIS_COLORS table; beyond that (more blobs than the
+    reference ever renders) the palette extends with evenly spaced hues."""
+    if n <= len(BLOB_VIS_COLORS):
+        return BLOB_VIS_COLORS[:n]
+    colors = list(BLOB_VIS_COLORS)
+    for i in range(n - len(BLOB_VIS_COLORS)):
         h = (i * 0.61803398875) % 1.0
         s = 0.55 + 0.25 * ((i * 7) % 3) / 2.0
         v = 0.75 + 0.2 * ((i * 5) % 2)
