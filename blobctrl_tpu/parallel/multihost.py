@@ -164,3 +164,27 @@ def sync(tag: str = "sync"):
     """Barrier across all processes (e.g. around checkpoint writes)."""
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices(tag)
+
+
+def barrier(tag: str, timeout_s: float = 600.0) -> None:
+    """Coordination-service barrier: blocks until EVERY process reaches it.
+
+    Unlike :func:`sync` (a device collective: on the CPU backend a gloo op
+    whose context bring-up has a short hard-coded rendezvous window), this
+    rides the coordinator's gRPC coordination service with an explicit,
+    generous timeout — so it is safe to use BEFORE the first collective,
+    e.g. to line processes up after their (arbitrarily skewed) compiles.
+    The canonical multi-host step sequence is therefore:
+
+        compiled = step_fn.lower(...).compile()   # per-process, any skew
+        multihost.barrier("compiled")             # absorb the skew here
+        compiled(...)                             # first gloo/ICI collective
+                                                  # now starts ~simultaneously
+
+    No-op when the distributed runtime is not active.
+    """
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None or jax.process_count() <= 1:
+        return
+    client.wait_at_barrier(tag, int(timeout_s * 1000))

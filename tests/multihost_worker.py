@@ -86,7 +86,15 @@ def distributed_loss() -> float:
     state = ts.init_train_state(cfg, multihost.replicate(mesh, bp),
                                 multihost.replicate(mesh, lp))
     with mesh:
-        state, metrics = step_fn(state, up, gbatch, jax.random.PRNGKey(3))
+        # AOT-compile first, THEN line the processes up on the coordination
+        # service: per-process compile times skew arbitrarily (cold caches,
+        # loaded hosts), and the gloo context rendezvous inside the first
+        # collective only tolerates ~30 s of skew. After the barrier every
+        # process launches the compiled step near-simultaneously.
+        compiled = step_fn.lower(state, up, gbatch,
+                                 jax.random.PRNGKey(3)).compile()
+        multihost.barrier("train_step_compiled")
+        state, metrics = compiled(state, up, gbatch, jax.random.PRNGKey(3))
     loss = float(multihost.fetch(metrics)["loss"])
     multihost.sync("after_step")
     return loss
