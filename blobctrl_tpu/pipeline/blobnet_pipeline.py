@@ -298,14 +298,28 @@ class BlobNetPipeline:
         if hybrid:
             from jax.sharding import NamedSharding, PartitionSpec
             _cfg_shard = NamedSharding(self.mesh, PartitionSpec("data"))
+            _rep_shard = NamedSharding(self.mesh, PartitionSpec())
 
             def cfg_batch_constraint(x):
                 """Pin the CFG batch dim to the data axis (the uncond/cond
                 rows land on different chip groups; GSPMD inserts only the
                 tiny gather at the guidance combine)."""
                 return jax.lax.with_sharding_constraint(x, _cfg_shard)
+
+            def pre_cfg_replicate(x):
+                """Replicate a batch-B tensor BEFORE it is CFG-duplicated
+                into the data-sharded batch. Without this, GSPMD sees
+                concatenate(channel-sharded, channel-sharded) with a
+                batch-sharded output constraint and falls back to
+                'involuntary full rematerialization'; with it, the reshard
+                decomposes into a clean all-gather (here) plus a local
+                batch slice (at the constraint)."""
+                return jax.lax.with_sharding_constraint(x, _rep_shard)
         else:
             def cfg_batch_constraint(x):
+                return x
+
+            def pre_cfg_replicate(x):
                 return x
 
         if scheduler_name == "unipc":
@@ -405,6 +419,7 @@ class BlobNetPipeline:
                     def bcast(r):
                         r = crop_right(r)
                         if do_cfg:
+                            r = pre_cfg_replicate(r)
                             r = cfg_batch_constraint(
                                 jnp.concatenate([r, r], axis=0))
                         return r
@@ -488,20 +503,33 @@ class BlobNetPipeline:
             else:
                 state = (latents,)
 
+            def variance_noise(i, shape):
+                """Per-step variance noise for stochastic schedulers.
+                noise_key is either ONE key (single-edit path: one draw at
+                the batched shape, matching the torch reference's single
+                generator) or a (B, 2) stack of per-request keys (edit_batch:
+                row b is drawn from request b's own key at the solo shape,
+                so batched trajectories bit-match solo runs)."""
+                if noise_key.ndim == 2:
+                    return jax.vmap(lambda k: jax.random.normal(
+                        jax.random.fold_in(k, i), shape[1:],
+                        jnp.float32))(noise_key)
+                return jax.random.normal(jax.random.fold_in(noise_key, i),
+                                         shape, jnp.float32)
+
             def sched_step(i, noise_pred, state):
                 if scheduler_name == "unipc":
                     return unipc_lib.step(sched, i, noise_pred, state)
                 if scheduler_name.startswith("dpm"):
                     noise = None
                     if sched.stochastic:
-                        noise = jax.random.normal(
-                            jax.random.fold_in(noise_key, i),
-                            state[0].shape, jnp.float32)
+                        noise = variance_noise(i, state[0].shape)
                     return dpm_lib.step(sched, i, noise_pred, state,
                                         noise=noise)
                 return (ddim_lib.step(
                     sched, i, noise_pred, state[0],
-                    noise_key=noise_key if sched.eta > 0.0 else None),)
+                    noise=(variance_noise(i, state[0].shape)
+                           if sched.eta > 0.0 else None)),)
 
             if step_callback:
                 # per-step host callback (reference callback_on_step_end,
@@ -957,14 +985,13 @@ class BlobNetPipeline:
         and must carry the same blob count M — the server groups compatible
         requests before calling this.
 
-        Determinism: with a deterministic scheduler (unipc/ddim/dpm
-        non-SDE), each batched edit is numerically equivalent to running the
-        same request alone with the same seed (initial noise is drawn
-        per-request from PRNGKey(seed), exactly as __call__ does). With
-        sde-dpmsolver++ the per-step variance noise is drawn at the batched
-        shape from the FIRST request's key, so batched results differ from
-        solo runs (documented, not silent: stochastic trajectories never
-        bit-match across batch shapes in the torch reference either).
+        Determinism: each batched edit is numerically equivalent to running
+        the same request alone with the same seed — for stochastic schedulers
+        (sde-dpmsolver++) too. Initial noise AND per-step variance noise are
+        both drawn per-request from that request's own PRNGKey(seed) chain,
+        exactly as __call__ does (the torch reference cannot make this
+        guarantee: one shared generator means stochastic trajectories never
+        bit-match across batch shapes there).
         """
         B = len(requests)
         if B == 0:
@@ -994,17 +1021,16 @@ class BlobNetPipeline:
             negatives = [r.get("negative_prompt") or "" for r in requests]
             pe = self.encode_prompt(prompts, negatives, 1, do_cfg, clip_skip)
 
-        # per-request initial noise, drawn exactly as the single-edit path
+        # per-request initial noise AND per-request variance-noise keys,
+        # drawn exactly as the single-edit path draws them for that seed
         import os as _os
-        lats = []
-        key0 = None
+        lats, noise_keys = [], []
         for r in requests:
             seed = r.get("seed")
             if seed is None:
                 seed = int.from_bytes(_os.urandom(4), "little")
             k = jax.random.PRNGKey(seed)
-            if key0 is None:
-                key0 = k
+            noise_keys.append(jax.random.fold_in(k, 0x5de))
             lats.append(jax.random.normal(k, (1, h, w, 4), jnp.float32))
         latents = jnp.concatenate(lats, axis=0)
 
@@ -1094,7 +1120,7 @@ class BlobNetPipeline:
                    jnp.asarray(float(guidance_scale), jnp.float32),
                    jnp.asarray(key_mask),
                    jnp.asarray(key_mask),
-                   jax.random.fold_in(key0, 0x5de))
+                   jnp.stack(noise_keys))
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(out))

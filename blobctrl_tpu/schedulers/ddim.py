@@ -85,18 +85,21 @@ def make(num_inference_steps: int, num_train_timesteps: int = 1000,
 
 
 def step(sched: DDIMSchedule, i: Array, model_output: Array, sample: Array,
-         noise_key=None) -> Array:
+         noise_key=None, noise: Optional[Array] = None) -> Array:
     """One DDIM step; i is the step index (0-based, traced or static).
-    For eta > 0 pass noise_key (per-call fold_in recommended)."""
+    For eta > 0 pass noise_key (per-call fold_in recommended) or a
+    pre-drawn ``noise`` array (sample-shaped; takes precedence — the
+    pipeline uses this to draw per-request noise in batched edits)."""
     a_t = sched.a_t[i]
     s_t = sched.s_t[i]
     eps = model_output.astype(jnp.float32)
     x0 = (sample - s_t * eps) / a_t
     out = sched.c_x0[i] * x0 + sched.c_eps[i] * eps
     if sched.eta > 0.0:
-        assert noise_key is not None, "eta > 0 needs a noise key"
-        noise = jax.random.normal(jax.random.fold_in(noise_key, i),
-                                  sample.shape, jnp.float32)
+        if noise is None:
+            assert noise_key is not None, "eta > 0 needs a noise key"
+            noise = jax.random.normal(jax.random.fold_in(noise_key, i),
+                                      sample.shape, jnp.float32)
         out = out + sched.sigma[i] * noise
     return out.astype(sample.dtype)
 

@@ -319,6 +319,42 @@ def test_edit_batch_matches_single_runs(tiny):
 
 
 @pytest.mark.slow
+def test_edit_batch_matches_single_runs_sde(tiny):
+    """Batched == solo holds for the STOCHASTIC scheduler too: per-step
+    sde-dpmsolver++ variance noise is drawn per-request from that request's
+    own key chain (not once at the batched shape), so each row of the batch
+    reproduces its solo trajectory bit-for-bit up to uint8 quantization."""
+    rng = np.random.RandomState(17)
+    pipe = BlobNetPipeline(**tiny)
+    H = W = 64
+    lh = lw = 8
+    reqs = []
+    for i in range(2):
+        fg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        bg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        gs = np.stack([np.ones((1, lh, lw)), rng.rand(1, lh, lw)],
+                      -1).astype(np.float32)
+        reqs.append(dict(
+            fg_image=fg, bg_image=bg, gs_score=gs, seed=200 + i,
+            prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+            negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+            fg_dino_feats=rng.randn(1, 16).astype(np.float32)))
+    batched = pipe.edit_batch(reqs, height=H, width=W,
+                              num_inference_steps=4, guidance_scale=7.5,
+                              scheduler="dpm_sde").images
+    for i, r in enumerate(reqs):
+        solo = pipe(fg_image=r["fg_image"], bg_image=r["bg_image"],
+                    gs_score=r["gs_score"], height=H, width=W,
+                    num_inference_steps=4, guidance_scale=7.5,
+                    scheduler="dpm_sde",
+                    prompt_embeds=r["prompt_embeds"],
+                    negative_prompt_embeds=r["negative_prompt_embeds"],
+                    fg_dino_feats=r["fg_dino_feats"], seed=200 + i).images
+        np.testing.assert_allclose(batched[i], solo[0], atol=0.005)
+    assert np.abs(batched[0] - batched[1]).mean() > 0.01
+
+
+@pytest.mark.slow
 def test_edit_batch_remove_mode(tiny):
     """Batched remove-mode requests (strength 0 -> statically UNet-only
     graph, bg-only score) run and return finite images."""
