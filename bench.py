@@ -54,6 +54,36 @@ def main():
     sec = float(np.median(times))
     img_s_chip = 1.0 / sec  # one chip in this harness
 
+    # ---- MFU: XLA's cost model on the pure-XLA lowering of the flagship
+    # step (__graft_entry__.entry(): UNet CFG-2 + BlobNet batch-1, 512^2
+    # double-width). The Pallas kernels compute the same math as the XLA
+    # routing, so this counts their FLOPs too (Pallas custom calls would be
+    # invisible to the cost model, hence the temporary backend switch).
+    step_tflops = achieved_tflops = mfu = None
+    V5E_BF16_PEAK_TFLOPS = 197.0   # v5e MXU nominal bf16 peak
+    MEASURED_MATMUL_PEAK = 164.0   # this chip's measured big-GEMM ceiling
+    if os.environ.get("BENCH_MFU", "1") == "1" and size == 512:
+        from blobctrl_tpu.nn import attention, resnet
+        attention.set_attention_backend("xla")
+        resnet.set_conv_backend("xla")
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import __graft_entry__ as ge
+            fn, args = ge.entry()
+            ca = jax.jit(fn).lower(*args).cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            step_flops = float(ca["flops"])
+        finally:
+            attention.set_attention_backend("auto")
+            resnet.set_conv_backend("auto")
+        step_tflops = step_flops / 1e12
+        # loop FLOPs over the FULL edit wall time (fixed VAE/fetch cost
+        # included in the denominator, its FLOPs excluded from the
+        # numerator: conservative)
+        achieved_tflops = step_flops * steps / sec / 1e12
+        mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
+
     # secondary: batched multi-edit throughput (BASELINE config 4: bs=8)
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     batch_img_s = None
@@ -189,6 +219,13 @@ def main():
         "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,
         "cfg_interval_edit_seconds": round(cfgint_sec, 4) if cfgint_sec else None,
         "int8_edit_seconds": round(int8_sec, 4) if int8_sec else None,
+        "step_tflops": round(step_tflops, 3) if step_tflops else None,
+        "achieved_tflops": (round(achieved_tflops, 2)
+                            if achieved_tflops else None),
+        "mfu": round(mfu, 4) if mfu else None,
+        "mfu_vs_measured_matmul_peak": (
+            round(achieved_tflops / MEASURED_MATMUL_PEAK, 4)
+            if achieved_tflops else None),
         "distinct_batch4_seconds": round(eb_sec, 4) if eb_sec else None,
         "distinct_batch4_img_s_chip": (round(eb / eb_sec, 4)
                                        if eb_sec else None),
