@@ -105,6 +105,27 @@ def dinov2_config_from_transformers(config: Dict[str, Any]):
     )
 
 
+def blobnet_config_to_diffusers(cfg) -> Dict[str, Any]:
+    """BlobNetConfig -> reference BlobNetModel config.json dict (the inverse
+    of blobnet_config_from_diffusers; used by the trainer's export path so a
+    fabricated models_root is loadable by the reference layout loader)."""
+    def types(has_attn, base):
+        return ["CrossAttn" + base if a else base for a in has_attn]
+    return {
+        "_class_name": "BlobNetModel",
+        "in_channels": cfg.in_channels,
+        "conditioning_channels": cfg.conditioning_channels,
+        "block_out_channels": list(cfg.block_out_channels),
+        "down_block_types": types(cfg.down_block_has_attn, "DownBlock2D"),
+        "up_block_types": types(cfg.up_block_has_attn, "UpBlock2D"),
+        "layers_per_block": cfg.layers_per_block,
+        "cross_attention_dim": cfg.cross_attention_dim,
+        "attention_head_dim": cfg.num_heads,
+        "norm_num_groups": cfg.norm_num_groups,
+        "norm_eps": cfg.norm_eps,
+    }
+
+
 def blobnet_config_from_diffusers(config: Dict[str, Any]):
     """reference BlobNetModel config.json -> BlobNetConfig."""
     from blobctrl_tpu.models.blobnet import BlobNetConfig

@@ -153,6 +153,17 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
     dino_cfg = maybe_config(os.path.join(models_root, "dinov2-large"),
                             config_io.dinov2_config_from_transformers,
                             flagship.dinov2_large_config())
+    # The DINOv2 INPUT size is a processor property, not a model property
+    # (the reference preprocesses via AutoImageProcessor, whose
+    # preprocessor_config.json crops to 224 for dinov2-large —
+    # pipeline_blobnet.py:696); read it from the downloaded layout.
+    dino_image_size = 224
+    pp_path = os.path.join(models_root, "dinov2-large",
+                           "preprocessor_config.json")
+    if os.path.exists(pp_path):
+        with open(pp_path) as f:
+            crop = json.load(f).get("crop_size") or {}
+        dino_image_size = int(crop.get("height", dino_image_size))
     vae_cfg = maybe_config(os.path.join(sd_root, "vae"),
                            config_io.vae_config_from_diffusers,
                            flagship.sd15_vae_config())
@@ -179,6 +190,7 @@ def load_pipeline(models_root: str, dtype=jnp.bfloat16, lora_scale: float = 1.0)
         dino_params=layers.cast(
             load_dinov2(os.path.join(models_root, "dinov2-large")), dtype),
         tokenizer=tokenizer,
+        dino_image_size=dino_image_size,
         dtype=dtype)
     # Record the adapter so the pipeline can rescale LoRA at runtime
     # (the reference reads cross_attention_kwargs["scale"] every step,
