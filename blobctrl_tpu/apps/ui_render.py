@@ -194,14 +194,14 @@ def webp_cache_roundtrip(img: np.ndarray) -> np.ndarray:
     return np.asarray(Image.open(buf).convert("RGB"))
 
 
-MAX_CACHE_HOPS = 3
+MAX_CACHE_HOPS = 4
 
 
 def _diff_stats(ours: np.ndarray, recorded: np.ndarray) -> Dict:
     """Diff our render against a recorded PNG, modeling 1..MAX_CACHE_HOPS
     gradio cache re-encodes (how often a value bounced through a component
     depends on the session's click history, which state.json doesn't record
-    — observed per-artifact hop counts are 1-3). Reports the best hop count;
+    — observed per-artifact hop counts are 1-4). Reports the best hop count;
     `exact` means bit-for-bit equality at that hop count."""
     a0 = np.asarray(ours)
     if a0.ndim == 2:
@@ -276,8 +276,16 @@ def score_demo_ui(demo_dir: str) -> Dict:
         candidates.append(_ellipse(state["ellipse_lists"][1][0]))
     galleries = [render_ori_gallery(original, e, height, width)
                  for e in candidates]
-    for idx, key in ((0, "ellipse_overlay"), (3, "ellipse_mask"),
-                     (4, "ellipse_masked")):
+    indices = [(0, "ellipse_overlay"), (3, "ellipse_mask"),
+               (4, "ellipse_masked")]
+    if _is_degenerate(_ellipse(state["ellipse_lists"][0][0])):
+        # compose states: the whole gallery came from set_init_ellipse
+        # (blobctrl_app.py:1398-1436), so indices 1-2 are ALSO ellipse-derived
+        # (masked_image == index 4's composite; mask_image == index 3's mask
+        # through PIL "L") — for other states they depend on the unrecorded
+        # SAM mask and cannot be scored.
+        indices += [(1, "ellipse_masked"), (2, "ellipse_mask")]
+    for idx, key in indices:
         p = os.path.join(demo_dir, "ori_result_gallery",
                          f"ori_result_gallery_{idx}.png")
         if os.path.isfile(p):

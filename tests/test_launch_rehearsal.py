@@ -103,7 +103,7 @@ def test_launch_day_rehearsal(tmp_path_factory, monkeypatch, capsys):
     replay_mod.main()
 
     out = capsys.readouterr().out
-    assert '"artifacts_bit_exact": 48' in out  # UI goldens scored too
+    assert '"artifacts_bit_exact": 52' in out  # UI goldens scored too
 
     with open(json_out) as f:
         rows = json.load(f)
