@@ -70,19 +70,26 @@ def main():
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             import __graft_entry__ as ge
             fn, args = ge.entry()
-            ca = jax.jit(fn).lower(*args).cost_analysis()
+            lowered = jax.jit(fn).lower(*args)
+            # some backends only expose the cost model post-compile
+            ca = lowered.cost_analysis() or lowered.compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             step_flops = float(ca["flops"])
+        except Exception as e:  # MFU is reporting, never fail the bench
+            print(f"bench: MFU count failed: {e!r}", file=sys.stderr,
+                  flush=True)
+            step_flops = None
         finally:
             attention.set_attention_backend("auto")
             resnet.set_conv_backend("auto")
-        step_tflops = step_flops / 1e12
-        # loop FLOPs over the FULL edit wall time (fixed VAE/fetch cost
-        # included in the denominator, its FLOPs excluded from the
-        # numerator: conservative)
-        achieved_tflops = step_flops * steps / sec / 1e12
-        mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
+        if step_flops:
+            step_tflops = step_flops / 1e12
+            # loop FLOPs over the FULL edit wall time (fixed VAE/fetch cost
+            # included in the denominator, its FLOPs excluded from the
+            # numerator: conservative)
+            achieved_tflops = step_flops * steps / sec / 1e12
+            mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
 
     # secondary: batched multi-edit throughput (BASELINE config 4: bs=8)
     batch = int(os.environ.get("BENCH_BATCH", "8"))
