@@ -126,12 +126,14 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-def preprocess(images_uint8: np.ndarray, size: int = 224,
-               short_edge: Optional[int] = None) -> np.ndarray:
-    """Host-side AutoImageProcessor (BitImageProcessor) equivalent:
+def preprocess_u8(images_uint8: np.ndarray, size: int = 224,
+                  short_edge: Optional[int] = None) -> np.ndarray:
+    """Host half of the AutoImageProcessor (BitImageProcessor) equivalent:
     (B,H,W,3) uint8 RGB -> PIL bicubic resize shortest side to `short_edge`
-    (256 for the published DINOv2 processors), center-crop `size`, 1/255,
-    ImageNet normalize."""
+    (256 for the published DINOv2 processors), center-crop `size`. Returns
+    uint8 — PIL resize re-quantizes, so this IS the exact intermediate —
+    for cheap host->device transport; normalize on device with
+    normalize_pixels (bit-identical f32 ops)."""
     from PIL import Image
     if short_edge is None:
         short_edge = 256 if size == 224 else size
@@ -146,8 +148,26 @@ def preprocess(images_uint8: np.ndarray, size: int = 224,
         pil = pil.resize((nw, nh), Image.BICUBIC)
         left, top = (nw - size) // 2, (nh - size) // 2
         pil = pil.crop((left, top, left + size, top + size))
-        out.append(np.asarray(pil, np.float32) / 255.0)
-    x = np.stack(out)
+        out.append(np.asarray(pil, np.uint8))
+    return np.stack(out)
+
+
+def normalize_pixels(x):
+    """(B,H,W,3) uint8 -> f32 ImageNet-normalized, the device half of
+    preprocess (same 1/255, -mean, /std f32 op sequence as the host path)."""
+    import jax.numpy as jnp
+    x = x.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def preprocess(images_uint8: np.ndarray, size: int = 224,
+               short_edge: Optional[int] = None) -> np.ndarray:
+    """Host-side AutoImageProcessor (BitImageProcessor) equivalent:
+    (B,H,W,3) uint8 RGB -> PIL bicubic resize shortest side to `short_edge`
+    (256 for the published DINOv2 processors), center-crop `size`, 1/255,
+    ImageNet normalize."""
+    x = preprocess_u8(images_uint8, size, short_edge).astype(np.float32)
+    x = x / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 

@@ -55,9 +55,13 @@ class PipelineOutput:
     nsfw_content_detected: Optional[np.ndarray] = None
 
 
-def preprocess_image(image, height: int, width: int) -> np.ndarray:
-    """PIL/ndarray -> (1, H, W, 3) float32 in [-1, 1]. Host-side; matches
-    VaeImageProcessor.preprocess (PIL lanczos resize, then scale)."""
+def preprocess_image_transport(image, height: int, width: int) -> np.ndarray:
+    """PIL/ndarray -> (1, H, W, 3) in the cheapest EXACT transport form:
+    uint8 0..255 whenever the [-1, 1] float preprocess is exactly
+    u8/255*2-1 (every PIL or integer-ndarray input is — PIL LANCZOS resize
+    re-quantizes to uint8, same as the reference's VaeImageProcessor), else
+    float32 in [0, 1]. The device normalizes in f32, bit-identical to the
+    host form, at 1/4 the host->device bytes (PERF_NOTES "fixed cost")."""
     if not hasattr(image, "convert"):
         arr = np.asarray(image)
         # decide normalization by DTYPE, not by value (a near-black uint8
@@ -89,10 +93,33 @@ def preprocess_image(image, height: int, width: int) -> np.ndarray:
         if image.size != (width, height):
             from PIL import Image
             image = image.resize((width, height), Image.LANCZOS)
-        image = np.asarray(image, dtype=np.float32) / 255.0
+        image = np.asarray(image, dtype=np.uint8)
     if image.ndim == 3:
         image = image[None]
+    return image
+
+
+def _transport_to_signal(image: np.ndarray) -> np.ndarray:
+    """uint8-or-unit-float transport form -> float32 [-1, 1] (host)."""
+    if image.dtype == np.uint8:
+        image = image.astype(np.float32) / 255.0
     return image * 2.0 - 1.0
+
+
+def preprocess_image(image, height: int, width: int) -> np.ndarray:
+    """PIL/ndarray -> (1, H, W, 3) float32 in [-1, 1]. Host-side; matches
+    VaeImageProcessor.preprocess (PIL lanczos resize, then scale)."""
+    return _transport_to_signal(preprocess_image_transport(image, height,
+                                                           width))
+
+
+def _uniform_transport(images) -> list:
+    """Give every image in the list one common transport dtype: uint8 only
+    if ALL are uint8 (the jitted edit concatenates them), else f32 [-1,1]."""
+    if all(im.dtype == np.uint8 for im in images):
+        return list(images)
+    return [_transport_to_signal(im) if im.dtype == np.uint8
+            else im * 2.0 - 1.0 for im in images]
 
 
 def blobnet_keep_schedule(num_steps: int, start: float, end: float) -> np.ndarray:
@@ -176,6 +203,18 @@ class BlobNetPipeline:
                       prompt_embeds: Optional[np.ndarray] = None,
                       negative_prompt_embeds: Optional[np.ndarray] = None) -> Array:
         """Returns (2B, 77, C) [negative; positive] if do_cfg else (B, 77, C)."""
+        def upload(x):
+            # user-supplied host embeddings travel at the compute dtype when
+            # that's bf16: the graph consumes them via astype(dtype), and
+            # host f32->bf16 rounding == device rounding (both RNE) — exact,
+            # at half the upload bytes
+            if isinstance(x, jax.Array):
+                return x
+            x = np.asarray(x)
+            if self.dtype == jnp.bfloat16 and x.dtype == np.float32:
+                x = x.astype(jnp.bfloat16)
+            return jnp.asarray(x)
+
         if prompt_embeds is None:
             assert self.tokenizer is not None and self.clip_params is not None, \
                 "string prompts require a tokenizer + CLIP params"
@@ -184,7 +223,7 @@ class BlobNetPipeline:
             ids = jnp.asarray(self.tokenizer(prompt))
             prompt_embeds = clip_lib.encode_with_clip_skip(
                 self.clip_params, self.clip_cfg, ids, clip_skip)
-        prompt_embeds = jnp.asarray(prompt_embeds)
+        prompt_embeds = upload(prompt_embeds)
         bsz = prompt_embeds.shape[0]
         prompt_embeds = jnp.repeat(prompt_embeds, num_images_per_prompt, axis=0)
         if not do_cfg:
@@ -200,7 +239,7 @@ class BlobNetPipeline:
                 negative_prompt = [negative_prompt] * bsz
             ids = jnp.asarray(self.tokenizer(negative_prompt))
             negative_prompt_embeds = clip_lib.apply(self.clip_params, self.clip_cfg, ids)
-        negative_prompt_embeds = jnp.repeat(jnp.asarray(negative_prompt_embeds),
+        negative_prompt_embeds = jnp.repeat(upload(negative_prompt_embeds),
                                             num_images_per_prompt, axis=0)
         return jnp.concatenate([negative_prompt_embeds, prompt_embeds], axis=0)
 
@@ -253,11 +292,19 @@ class BlobNetPipeline:
         return fn(self._conv_params("vae_params"), latents)
 
     def _encode_dino(self, pixel_values: Array) -> Array:
-        fn = self._lazy_jit("_encode_dino_fn", lambda:
-                            lambda params, px: dino_lib.apply(
-                                params, self.dino_cfg, px.astype(self.dtype)
-                            )[1].astype(jnp.float32))
-        return fn(self.dino_params, pixel_values)
+        """pixel_values: ImageNet-normalized f32, or uint8 transport form
+        (resized/cropped only) normalized here on device — exact, at 1/4
+        the upload bytes. jit retraces per dtype."""
+        def make():
+            def fn(params, px):
+                if px.dtype == jnp.uint8:
+                    px = dino_lib.normalize_pixels(px)
+                return dino_lib.apply(params, self.dino_cfg,
+                                      px.astype(self.dtype)
+                                      )[1].astype(jnp.float32)
+            return fn
+        return self._lazy_jit("_encode_dino_fn", make)(self.dino_params,
+                                                       pixel_values)
 
     # ------------------------------------------------------------------
     # jitted denoise loop
@@ -585,7 +632,8 @@ class BlobNetPipeline:
         def edit(unet_params, blobnet_params, vae_params, fg_img, bg_img,
                  gs, pooled, prompt_embeds, latents, cond_scales,
                  guidance_scale, key_mask, cfg_mask, noise_key):
-            """fg_img/bg_img: (Bg, H, W, 3) f32 in [-1, 1]; gs: (Bg, h, w, M+1)
+            """fg_img/bg_img: (Bg, H, W, 3) uint8 0..255 (the exact
+            transport form) or f32 in [-1, 1]; gs: (Bg, h, w, M+1)
             composited score layers [bg, fg_1..fg_M]; pooled: (Bg, M, Cd)
             per-edit, per-blob DINOv2 embeddings. Bg = 1 for the single-edit
             path (conditioning broadcast over num_images_per_prompt) or B for
@@ -593,12 +641,22 @@ class BlobNetPipeline:
             the CFG tile replicates the Bg block to match prompt_embeds'
             [negative-block; positive-block] ordering."""
             cfg_batch = prompt_embeds.shape[0]
-            bg_batch = fg_img.shape[0]
-            # both conditioning images through ONE batched VAE encode
+            # both conditioning images through ONE batched VAE encode.
+            # bg_img=None means fg_img is the pre-stacked [fg; bg] pair (the
+            # single-chip path stacks host-side: one h2d transfer instead of
+            # two saves ~10 ms of per-transfer latency through the tunnel).
+            # uint8 transport form normalizes here, in f32 — bit-identical
+            # to the host-side float path at 1/4 the upload bytes
+            if bg_img is None:
+                cond = fg_img
+                bg_batch = cond.shape[0] // 2
+            else:
+                bg_batch = fg_img.shape[0]
+                cond = jnp.concatenate([fg_img, bg_img], axis=0)
+            if cond.dtype == jnp.uint8:
+                cond = cond.astype(jnp.float32) / 255.0 * 2.0 - 1.0
             lat2 = vae_lib.encode_to_scaled_latents(
-                vae_params, vae_cfg,
-                jnp.concatenate([fg_img, bg_img], axis=0).astype(dtype)
-            ).astype(jnp.float32)
+                vae_params, vae_cfg, cond.astype(dtype)).astype(jnp.float32)
             tile = lambda x: jnp.tile(x, (cfg_batch // bg_batch, 1, 1, 1))
             fg_lat, bg_lat = tile(lat2[:bg_batch]), tile(lat2[bg_batch:])
             bg_score = tile(gs[..., 0:1])
@@ -791,8 +849,9 @@ class BlobNetPipeline:
         if fg_vae_image is None:
             fg_vae_image = (fg_image[0] if isinstance(fg_image, (list, tuple))
                             else fg_image)
-        fg = preprocess_image(fg_vae_image, height, width)
-        bg = preprocess_image(bg_image, height, width)
+        fg, bg = _uniform_transport([
+            preprocess_image_transport(fg_vae_image, height, width),
+            preprocess_image_transport(bg_image, height, width)])
         assert fg.shape[0] == 1 and bg.shape[0] == 1, \
             "fg/bg conditioning images must be single images"
 
@@ -812,7 +871,8 @@ class BlobNetPipeline:
             assert self.dino_params is not None, \
                 "DINOv2 params required unless fg_dino_feats is given"
             dino_in = self._dino_uint8_list(fg_image)
-            px = dino_lib.preprocess(np.stack(dino_in), size=self.dino_image_size)
+            px = dino_lib.preprocess_u8(np.stack(dino_in),
+                                        size=self.dino_image_size)
             pooled = self._encode_dino(jnp.asarray(px))  # (M', Cd)
         else:
             pooled = jnp.asarray(fg_dino_feats, jnp.float32)
@@ -828,12 +888,12 @@ class BlobNetPipeline:
                                              blobnet_control_guidance_end)
                        * float(blobnet_conditioning_scale))
 
-        fg = jnp.asarray(fg)
-        bg = jnp.asarray(bg)
         gs = jnp.asarray(gs)
 
         # multi-chip: shard batch-major tensors over the data axis (weights
-        # are placed by shard_to_mesh); XLA GSPMD propagates the rest
+        # are placed by shard_to_mesh); XLA GSPMD propagates the rest.
+        # Single chip: stack fg+bg host-side so the conditioning pair rides
+        # ONE h2d transfer (bg=None tells the edit fn it's pre-stacked).
         if self.mesh is not None:
             from blobctrl_tpu.parallel import mesh as mesh_lib
             data_size = self.mesh.shape["data"]
@@ -845,7 +905,10 @@ class BlobNetPipeline:
 
             latents = put(latents)
             pe = put(pe)
-            fg, bg, gs = put(fg), put(bg), put(gs)
+            fg, bg, gs = put(jnp.asarray(fg)), put(jnp.asarray(bg)), put(gs)
+        else:
+            fg = jnp.asarray(np.concatenate([fg, bg], axis=0))
+            bg = None
 
         use_blobnet = bool(np.any(cond_scales != 0.0))
 
@@ -1041,11 +1104,20 @@ class BlobNetPipeline:
             if fg_vae is None:
                 fg_vae = (fg_image[0]
                           if isinstance(fg_image, (list, tuple)) else fg_image)
-            fgs.append(preprocess_image(fg_vae, height, width))
-            bgs.append(preprocess_image(r["bg_image"], height, width))
+            fgs.append(preprocess_image_transport(fg_vae, height, width))
+            bgs.append(preprocess_image_transport(r["bg_image"], height,
+                                                  width))
             gss.append(self._normalize_gs(r["gs_score"], h, w))
-        fg = jnp.concatenate([jnp.asarray(x) for x in fgs], axis=0)
-        bg = jnp.concatenate([jnp.asarray(x) for x in bgs], axis=0)
+        # one transport dtype across the whole batch (fg and bg concatenate
+        # inside the jitted edit): uint8 only if every image is uint8
+        both = _uniform_transport(fgs + bgs)
+        if self.mesh is not None:
+            fg = jnp.asarray(np.concatenate(both[:B], axis=0))
+            bg = jnp.asarray(np.concatenate(both[B:], axis=0))
+        else:
+            # single chip: [all fg rows; all bg rows] as ONE h2d transfer
+            fg = jnp.asarray(np.concatenate(both, axis=0))
+            bg = None
         num_blobs = gss[0].shape[-1] - 1
         if any(g.shape[-1] - 1 != num_blobs for g in gss):
             raise ValueError("all requests in a batch must carry the same "
@@ -1072,8 +1144,8 @@ class BlobNetPipeline:
                 spans.append((b, len(imgs)))
                 to_encode.extend(imgs)
         if to_encode:
-            px = dino_lib.preprocess(np.stack(to_encode),
-                                     size=self.dino_image_size)
+            px = dino_lib.preprocess_u8(np.stack(to_encode),
+                                        size=self.dino_image_size)
             enc = np.asarray(self._encode_dino(jnp.asarray(px)))
             off = 0
             for b, m in spans:

@@ -191,6 +191,48 @@ def test_preprocess_image_pil_ndarray_same_filter():
 
 
 @pytest.mark.slow
+def test_uint8_transport_bit_exact(tiny):
+    """uint8 conditioning images ride the wire as uint8 (1/4 the bytes) and
+    normalize on device; the result must be BIT-identical to the float32
+    [-1, 1] transport of the same pixels."""
+    from blobctrl_tpu.pipeline import blobnet_pipeline as bp
+    rng = np.random.RandomState(7)
+    pipe = BlobNetPipeline(**tiny)
+    fg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    # the transport layer really picks uint8 for integer inputs
+    t = bp.preprocess_image_transport(fg, 64, 64)
+    assert t.dtype == np.uint8
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    kw = dict(gs_score=gs, height=64, width=64, num_inference_steps=2,
+              guidance_scale=7.5, seed=3,
+              prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+              fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+    out_u8 = pipe(fg_image=fg, bg_image=bg, **kw).images
+    # float path: same pixels as [0, 1] float arrays (float transport form)
+    out_f = pipe(fg_image=fg.astype(np.float32) / 255.0,
+                 bg_image=bg.astype(np.float32) / 255.0, **kw).images
+    np.testing.assert_array_equal(out_u8, out_f)
+
+
+def test_dino_u8_transport_matches_host_preprocess():
+    """preprocess_u8 + device normalize == the host preprocess to 1 ulp
+    (XLA rewrites the /std constant division to a reciprocal multiply —
+    ~5e-7 on ImageNet-normalized values, far below the bf16 rounding the
+    encoder applies to its input anyway)."""
+    from blobctrl_tpu.models import dinov2 as dino_lib
+    rng = np.random.RandomState(11)
+    imgs = rng.randint(0, 255, (2, 300, 260, 3)).astype(np.uint8)
+    host = dino_lib.preprocess(imgs, size=224)
+    u8 = dino_lib.preprocess_u8(imgs, size=224)
+    assert u8.dtype == np.uint8 and u8.shape == (2, 224, 224, 3)
+    dev = np.asarray(jax.jit(dino_lib.normalize_pixels)(jnp.asarray(u8)))
+    np.testing.assert_allclose(host.astype(np.float32), dev, atol=1e-6,
+                               rtol=0)
+
+
+@pytest.mark.slow
 def test_seed_none_draws_fresh_noise(tiny):
     rng = np.random.RandomState(0)
     pipe = BlobNetPipeline(**tiny)
