@@ -232,6 +232,89 @@ def test_dino_u8_transport_matches_host_preprocess():
                                rtol=0)
 
 
+def _fake_tokenizer(prompts):
+    out = []
+    for p in prompts:
+        rng = np.random.RandomState(abs(hash(p)) % (2 ** 31))
+        out.append(rng.randint(1, 99, 7))
+    return np.asarray(out, np.int32)
+
+
+def _clip_pipe(tiny):
+    from blobctrl_tpu.models import clip_text as clip_lib
+    ccfg = clip_lib.CLIPTextConfig(vocab_size=99, hidden_size=16,
+                                   intermediate_size=32, num_layers=2,
+                                   num_heads=2)
+    return BlobNetPipeline(**tiny, clip_cfg=ccfg,
+                           clip_params=clip_lib.init(jax.random.PRNGKey(5),
+                                                     ccfg),
+                           tokenizer=_fake_tokenizer)
+
+
+def test_encode_prompt_single_dispatch_memoized(tiny):
+    """String prompts: CLIP pos+neg+repeat+concat fuse into ONE jitted
+    dispatch, memoized by token ids — a repeated prompt across edit rounds
+    costs zero dispatches. The fused result must match the eager fallback
+    path exactly."""
+    from blobctrl_tpu.models import clip_text as clip_lib
+    pipe = _clip_pipe(tiny)
+    pe1 = pipe.encode_prompt("a cat", "blurry", 2, True)
+    assert pe1.shape == (4, 7, 16)
+    # memo hit: same object back, no new work
+    pe2 = pipe.encode_prompt("a cat", "blurry", 2, True)
+    assert pe2 is pe1
+    # different prompt -> different entry
+    pe3 = pipe.encode_prompt("a dog", "blurry", 2, True)
+    assert pe3 is not pe1
+    # equals the eager reference combine
+    ids = jnp.asarray(_fake_tokenizer(["a cat"]))
+    nids = jnp.asarray(_fake_tokenizer(["blurry"]))
+    pos = clip_lib.encode_with_clip_skip(pipe.clip_params, pipe.clip_cfg,
+                                         ids, None)
+    neg = clip_lib.apply(pipe.clip_params, pipe.clip_cfg, nids)
+    want = jnp.concatenate([jnp.repeat(neg, 2, 0), jnp.repeat(pos, 2, 0)], 0)
+    np.testing.assert_allclose(np.asarray(pe1), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+
+def test_encode_prompt_host_embeds_single_upload(tiny):
+    """Host-array embeds combine in numpy (zero eager device ops) with the
+    same values as the device combine."""
+    pipe = BlobNetPipeline(**tiny)
+    rng = np.random.RandomState(0)
+    pe = rng.randn(2, 7, 16).astype(np.float32)
+    npe = rng.randn(2, 7, 16).astype(np.float32)
+    got = pipe.encode_prompt(None, None, 3, True, prompt_embeds=pe,
+                             negative_prompt_embeds=npe)
+    want = np.concatenate([np.repeat(npe, 3, 0), np.repeat(pe, 3, 0)], 0)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_dino_embedding_cache(tiny):
+    """Repeated object images across rounds hit the DINOv2 memo cache —
+    zero encoder dispatches after the first."""
+    from blobctrl_tpu.models import dinov2 as dino_lib
+    dcfg = dino_lib.DINOv2Config(hidden_size=16, num_layers=2, num_heads=2,
+                                 intermediate_size=32, patch_size=14,
+                                 image_size=28)
+    pipe = BlobNetPipeline(**tiny, dino_cfg=dcfg,
+                           dino_params=dino_lib.init(jax.random.PRNGKey(6),
+                                                     dcfg),
+                           dino_image_size=28)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+    calls = []
+    real = pipe._encode_dino
+    pipe._encode_dino = lambda px: calls.append(1) or real(px)
+    p1 = pipe._dino_pooled_cached([img])
+    p2 = pipe._dino_pooled_cached([img])
+    assert len(calls) == 1 and p2 is p1
+    p3 = pipe._dino_pooled_cached([img[::-1].copy()])
+    assert len(calls) == 2 and p3 is not p1
+    # edit_batch's per-request cache consult reuses the same entries
+    assert pipe._dino_cache.get(pipe._dino_key([img])) is p1
+
+
 @pytest.mark.slow
 def test_seed_none_draws_fresh_noise(tiny):
     rng = np.random.RandomState(0)
