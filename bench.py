@@ -39,6 +39,12 @@ def main():
     kw = benchkit.standard_edit_kwargs(size=size, steps=steps)
 
     def run():
+        # the bench reuses one kw dict, which would hit the interactive
+        # conditioning-latent memo from the second call on; the headline
+        # metric is the COLD edit (what the torch reference re-does every
+        # call), so clear it — the repeat path is measured separately
+        # (scripts/bench_encoder_memo.py, PERF_NOTES)
+        pipe._cond_lat_cache.clear()
         return pipe(**kw).images
 
     print("bench: pipe built, warming up main graph", file=sys.stderr, flush=True)
@@ -91,6 +97,19 @@ def main():
             achieved_tflops = step_flops * steps / sec / 1e12
             mfu = achieved_tflops / V5E_BF16_PEAK_TFLOPS
 
+    # interactive repeat round (EXACT): same fg/bg as the previous edit —
+    # the conditioning-latent memo skips the image upload and the in-graph
+    # VAE encode (the interactive norm: the blob moves, the images don't)
+    def run_repeat():
+        return pipe(**kw).images
+    run_repeat()  # populate the memo
+    repeat_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_repeat()
+        repeat_ts.append(time.perf_counter() - t0)
+    repeat_sec = float(np.median(repeat_ts))
+
     # secondary: batched multi-edit throughput (BASELINE config 4: bs=8)
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     batch_img_s = None
@@ -98,6 +117,7 @@ def main():
         kwb = {k: v for k, v in kw.items() if k != "latents"}
 
         def run_batch():
+            pipe._cond_lat_cache.clear()  # cold path (see run())
             return pipe(seed=0, num_images_per_prompt=batch, **kwb).images
         print("bench: warming batch graph", file=sys.stderr, flush=True)
         run_batch()
@@ -123,6 +143,7 @@ def main():
     cache_interval = int(os.environ.get("BENCH_CACHE_INTERVAL", "3"))
     if cache_interval > 1:
         def run_cached():
+            pipe._cond_lat_cache.clear()  # cold path (see run())
             return pipe(encoder_cache_interval=cache_interval, **kw).images
         print("bench: warming cache graph", file=sys.stderr, flush=True)
         run_cached()
@@ -136,6 +157,7 @@ def main():
         w0, w1 = (float(x) for x in cfg_window.split(","))
 
         def run_cfgint():
+            pipe._cond_lat_cache.clear()  # cold path (see run())
             return pipe(cfg_guidance_start=w0, cfg_guidance_end=w1,
                         **kw).images
         print("bench: warming cfg-interval graph", file=sys.stderr, flush=True)
@@ -176,6 +198,7 @@ def main():
         del kwr["blobnet_control_guidance_end"]
 
         def run_remove():
+            pipe._cond_lat_cache.clear()  # cold path (see run())
             return pipe(**kwr).images
         print("bench: warming remove graph", file=sys.stderr, flush=True)
         run_remove()
@@ -221,6 +244,7 @@ def main():
         "vs_baseline": round(img_s_chip / baseline_img_s_chip, 3),
         "edit_seconds": round(sec, 4),
         "times": [round(t, 4) for t in times],
+        "repeat_edit_seconds": round(repeat_sec, 4),
         "batch8_img_s_chip": round(batch_img_s, 4) if batch_img_s else None,
         "remove_edit_seconds": round(remove_sec, 4) if remove_sec else None,
         "encoder_cache_edit_seconds": round(cache_sec, 4) if cache_sec else None,

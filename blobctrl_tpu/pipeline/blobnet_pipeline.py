@@ -165,6 +165,11 @@ class BlobNetPipeline:
         # rounds cost zero dispatches (keys carry the param-tree identity)
         self._prompt_cache = {}
         self._dino_cache = {}
+        # conditioning-latent memo (single-chip): repeated fg/bg images skip
+        # the image upload AND the in-graph VAE encode (keys carry pixel
+        # content + vae-params identity + the global numeric-mode flags)
+        self._cond_lat_cache = {}
+        self._dummy_cache = {}
 
     def shard_to_mesh(self, mesh=None, model_parallel: bool = False,
                       hybrid_cfg_data: bool = False):
@@ -348,6 +353,34 @@ class BlobNetPipeline:
                                     params, self.vae_cfg, lat.astype(self.dtype)
                                 ).astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0))
         return fn(self._conv_params("vae_params"), latents)
+
+    def _dummy(self, shape, dtype):
+        """Device-resident zeros used as placeholder operands (same aval as
+        the real tensor, so no retrace) — uploading them costs nothing after
+        the first call."""
+        key = (tuple(shape), jnp.dtype(dtype).str)
+        hit = self._dummy_cache.get(key)
+        if hit is None:
+            hit = self._dummy_cache[key] = jnp.zeros(shape, dtype)
+        return hit
+
+    @staticmethod
+    def _numeric_state() -> tuple:
+        """Global numeric-mode flags that change what compiled graphs
+        compute for the SAME params (the pre-quantized-int8 and backend
+        toggles). Memoized device results must key on them."""
+        from blobctrl_tpu.nn import attention, resnet
+        from blobctrl_tpu.ops import conv3x3 as conv_mod
+        return (conv_mod.conv_int8_enabled(), resnet.get_conv_backend(),
+                attention.get_attention_backend(),
+                attention._ATTENTION_INT8, attention._ATTENTION_INT8_GLOBAL_K)
+
+    def _cond_lat_key(self, fgbg_np, height, width) -> tuple:
+        import hashlib
+        return (hashlib.blake2b(np.ascontiguousarray(fgbg_np).tobytes(),
+                                digest_size=16).digest(),
+                fgbg_np.shape, str(fgbg_np.dtype), height, width,
+                id(self.vae_params), self._numeric_state())
 
     def _dino_key(self, images_u8) -> tuple:
         import hashlib
@@ -712,8 +745,8 @@ class BlobNetPipeline:
 
         @jax.jit  # no donation: caller-supplied latents must stay valid
         def edit(unet_params, blobnet_params, vae_params, fg_img, bg_img,
-                 gs, pooled, prompt_embeds, latents, cond_scales,
-                 guidance_scale, key_mask, cfg_mask, noise_key):
+                 lat2_in, use_lat2, gs, pooled, prompt_embeds, latents,
+                 cond_scales, guidance_scale, key_mask, cfg_mask, noise_key):
             """fg_img/bg_img: (Bg, H, W, 3) uint8 0..255 (the exact
             transport form) or f32 in [-1, 1]; gs: (Bg, h, w, M+1)
             composited score layers [bg, fg_1..fg_M]; pooled: (Bg, M, Cd)
@@ -721,7 +754,16 @@ class BlobNetPipeline:
             path (conditioning broadcast over num_images_per_prompt) or B for
             edit_batch's B distinct edits. Everything else as in denoise();
             the CFG tile replicates the Bg block to match prompt_embeds'
-            [negative-block; positive-block] ordering."""
+            [negative-block; positive-block] ordering.
+
+            lat2_in/use_lat2: conditioning-latent memo (interactive rounds
+            keep fg/bg fixed while the blob moves). use_lat2 (traced bool)
+            selects lat2_in — the PREVIOUS round's returned conditioning
+            latents, device-resident — over the in-graph VAE encode; the
+            image operands are then device-resident dummies, so a repeat
+            round uploads no image bytes at all. One graph serves both (a
+            lax.cond branch, not a second compile); lat2 is always returned
+            (stays on device — never fetched) so the host can memoize it."""
             cfg_batch = prompt_embeds.shape[0]
             # both conditioning images through ONE batched VAE encode.
             # bg_img=None means fg_img is the pre-stacked [fg; bg] pair (the
@@ -735,10 +777,15 @@ class BlobNetPipeline:
             else:
                 bg_batch = fg_img.shape[0]
                 cond = jnp.concatenate([fg_img, bg_img], axis=0)
-            if cond.dtype == jnp.uint8:
-                cond = cond.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            lat2 = vae_lib.encode_to_scaled_latents(
-                vae_params, vae_cfg, cond.astype(dtype)).astype(jnp.float32)
+
+            def encode_cond():
+                c = cond
+                if c.dtype == jnp.uint8:
+                    c = c.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+                return vae_lib.encode_to_scaled_latents(
+                    vae_params, vae_cfg, c.astype(dtype)).astype(jnp.float32)
+
+            lat2 = jax.lax.cond(use_lat2, lambda: lat2_in, encode_cond)
             tile = lambda x: jnp.tile(x, (cfg_batch // bg_batch, 1, 1, 1))
             fg_lat, bg_lat = tile(lat2[:bg_batch]), tile(lat2[bg_batch:])
             bg_score = tile(gs[..., 0:1])
@@ -752,7 +799,7 @@ class BlobNetPipeline:
                             fg_feats, cond_scales, guidance_scale, key_mask,
                             cfg_mask, noise_key)
             if not decode:
-                return final
+                return final, lat2
             img = vae_lib.decode_from_scaled_latents(
                 vae_params, vae_cfg, final.astype(dtype))
             img = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
@@ -762,7 +809,7 @@ class BlobNetPipeline:
             # public float32 [0, 1] contract (1/255 quantization — below the
             # fp16 noise floor of the reference stack, and images are saved
             # as uint8 PNGs anyway).
-            return jnp.round(img * 255.0).astype(jnp.uint8)
+            return jnp.round(img * 255.0).astype(jnp.uint8), lat2
 
         self._denoise_cache[key] = (edit, sched)
         return edit, sched
@@ -974,6 +1021,8 @@ class BlobNetPipeline:
         # are placed by shard_to_mesh); XLA GSPMD propagates the rest.
         # Single chip: stack fg+bg host-side so the conditioning pair rides
         # ONE h2d transfer (bg=None tells the edit fn it's pre-stacked).
+        cond_lat = None
+        cond_key = None
         if self.mesh is not None:
             from blobctrl_tpu.parallel import mesh as mesh_lib
             data_size = self.mesh.shape["data"]
@@ -986,9 +1035,19 @@ class BlobNetPipeline:
             latents = put(latents)
             pe = put(pe)
             fg, bg, gs = put(jnp.asarray(fg)), put(jnp.asarray(bg)), put(gs)
+            lat2_shape = (2, h, w, 4)
         else:
-            fg = jnp.asarray(np.concatenate([fg, bg], axis=0))
+            # conditioning-latent memo: interactive rounds move the blob but
+            # keep fg/bg fixed — a repeat round feeds the previous round's
+            # device-resident latents (use_lat2 branch) and uploads dummy
+            # image bytes (device-cached zeros: zero wire cost)
+            fgbg = np.concatenate([fg, bg], axis=0)
+            cond_key = self._cond_lat_key(fgbg, height, width)
+            cond_lat = self._cond_lat_cache.get(cond_key)
+            fg = (self._dummy(fgbg.shape, fgbg.dtype) if cond_lat is not None
+                  else jnp.asarray(fgbg))
             bg = None
+            lat2_shape = (2, h, w, 4)
 
         use_blobnet = bool(np.any(cond_scales != 0.0))
 
@@ -1033,15 +1092,25 @@ class BlobNetPipeline:
         self._step_callback = callback_on_step_end
         self._step_callback_warned = False
         try:
-            out = edit(self._conv_params("unet_params"),
-                       self._conv_params("blobnet_params"),
-                       self._conv_params("vae_params"),
-                       fg, bg, gs, pooled[None], pe, latents,
-                       jnp.asarray(cond_scales),
-                       jnp.asarray(float(guidance_scale), jnp.float32),
-                       jnp.asarray(key_mask),
-                       jnp.asarray(cfg_mask),
-                       jax.random.fold_in(key, 0x5de))
+            out, lat2 = edit(self._conv_params("unet_params"),
+                             self._conv_params("blobnet_params"),
+                             self._conv_params("vae_params"),
+                             fg, bg,
+                             cond_lat if cond_lat is not None
+                             else self._dummy(lat2_shape, jnp.float32),
+                             jnp.asarray(cond_lat is not None),
+                             gs, pooled[None], pe, latents,
+                             jnp.asarray(cond_scales),
+                             jnp.asarray(float(guidance_scale), jnp.float32),
+                             jnp.asarray(key_mask),
+                             jnp.asarray(cfg_mask),
+                             jax.random.fold_in(key, 0x5de))
+            if cond_key is not None and cond_lat is None:
+                # lat2 stays device-resident (no fetch); next round with the
+                # same fg/bg skips both the image upload and the VAE encode
+                if len(self._cond_lat_cache) >= 8:
+                    self._cond_lat_cache.pop(next(iter(self._cond_lat_cache)))
+                self._cond_lat_cache[cond_key] = lat2
             if callback_on_step_end is not None:
                 # debug.callback is async: make every step's callback land
                 # before returning (and before _step_callback is cleared)
@@ -1274,15 +1343,23 @@ class BlobNetPipeline:
                                     use_blobnet,
                                     decode=output_type != "latent")
         key_mask = np.ones(num_inference_steps, bool)
-        out = edit(self._conv_params("unet_params"),
-                   self._conv_params("blobnet_params"),
-                   self._conv_params("vae_params"),
-                   fg, bg, gs, pooled, pe, latents,
-                   jnp.asarray(cond_scales),
-                   jnp.asarray(float(guidance_scale), jnp.float32),
-                   jnp.asarray(key_mask),
-                   jnp.asarray(key_mask),
-                   jnp.stack(noise_keys))
+        # per-request conditioning images differ across a serving batch, so
+        # the cond-latent memo stays off here (use_lat2=False, dummy lat2)
+        out, _ = edit(self._conv_params("unet_params"),
+                      self._conv_params("blobnet_params"),
+                      self._conv_params("vae_params"),
+                      fg, bg,
+                      self._dummy((fg.shape[0] if bg is None
+                                   else 2 * fg.shape[0],
+                                   latents.shape[1], latents.shape[2], 4),
+                                  jnp.float32),
+                      jnp.asarray(False),
+                      gs, pooled, pe, latents,
+                      jnp.asarray(cond_scales),
+                      jnp.asarray(float(guidance_scale), jnp.float32),
+                      jnp.asarray(key_mask),
+                      jnp.asarray(key_mask),
+                      jnp.stack(noise_keys))
 
         if output_type == "latent":
             return PipelineOutput(images=np.asarray(out))

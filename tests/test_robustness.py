@@ -315,6 +315,47 @@ def test_dino_embedding_cache(tiny):
     assert pipe._dino_cache.get(pipe._dino_key([img])) is p1
 
 
+def test_cond_latent_memo_exact(tiny):
+    """Interactive rounds keep fg/bg fixed: the conditioning-latent memo
+    must make repeat rounds bit-identical to cold rounds (the in-graph VAE
+    encode and the lax.cond passthrough compute the same latents), never
+    serve stale latents for new images, and key on image content."""
+    rng = np.random.RandomState(3)
+    pipe = BlobNetPipeline(**tiny)
+    H = W = 64
+    fg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    pe = rng.randn(1, 7, 16).astype(np.float32)
+    npe = rng.randn(1, 7, 16).astype(np.float32)
+    dino = rng.randn(1, 16).astype(np.float32)
+    kw = dict(fg_image=fg, bg_image=bg, gs_score=gs, height=H, width=W,
+              num_inference_steps=2, guidance_scale=7.5, prompt_embeds=pe,
+              negative_prompt_embeds=npe, seed=1, fg_dino_feats=dino)
+
+    cold = pipe(**kw).images                      # miss: encodes, stashes
+    assert len(pipe._cond_lat_cache) == 1
+    hit = pipe(**kw).images                       # hit: dummy upload path
+    np.testing.assert_array_equal(cold, hit)
+    assert any(s == (2, H, W, 3) for s, _ in pipe._dummy_cache), \
+        "repeat round should have fed dummy image operands"
+
+    # moved blob, same images: still a hit, still exact vs a fresh pipe
+    gs2 = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    moved = pipe(**dict(kw, gs_score=gs2)).images
+    assert len(pipe._cond_lat_cache) == 1
+    fresh = BlobNetPipeline(**tiny)(**dict(kw, gs_score=gs2)).images
+    np.testing.assert_array_equal(moved, fresh)
+
+    # new background: miss (new entry), result matches a fresh pipe
+    bg2 = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    new_bg = pipe(**dict(kw, bg_image=bg2)).images
+    assert len(pipe._cond_lat_cache) == 2
+    fresh2 = BlobNetPipeline(**tiny)(**dict(kw, bg_image=bg2)).images
+    np.testing.assert_array_equal(new_bg, fresh2)
+    assert not np.array_equal(new_bg, cold)
+
+
 @pytest.mark.slow
 def test_seed_none_draws_fresh_noise(tiny):
     rng = np.random.RandomState(0)
