@@ -170,6 +170,7 @@ class BlobNetPipeline:
         # content + vae-params identity + the global numeric-mode flags)
         self._cond_lat_cache = {}
         self._dummy_cache = {}
+        self._param_versions = {}
 
     def shard_to_mesh(self, mesh=None, model_parallel: bool = False,
                       hybrid_cfg_data: bool = False):
@@ -255,7 +256,9 @@ class BlobNetPipeline:
                 nids = np.asarray(self.tokenizer(negative_prompt))
             if nids is not None or not do_cfg:
                 key = (ids.tobytes(), None if nids is None else nids.tobytes(),
-                       nipp, clip_skip, do_cfg, id(self.clip_params))
+                       nipp, clip_skip, do_cfg,
+                       self._params_version("clip_params"),
+                       self._numeric_state())
                 hit = self._prompt_cache.get(key)
                 if hit is not None:
                     return hit
@@ -375,12 +378,26 @@ class BlobNetPipeline:
                 attention.get_attention_backend(),
                 attention._ATTENTION_INT8, attention._ATTENTION_INT8_GLOBAL_K)
 
+    def _params_version(self, name: str) -> tuple:
+        """Stable cache-key component for the named param tree. Bare id()
+        is unsafe: replacing the attribute can free the old tree, whose id
+        a NEW tree may then reuse — a stale, bit-wrong memo hit. The version
+        map holds a strong ref to the keyed tree, so while an entry is live
+        its identity check is sound, and a replaced tree always gets a fresh
+        version number."""
+        tree = getattr(self, name)
+        ent = self._param_versions.get(name)
+        if ent is None or ent[0] is not tree:
+            ent = (tree, 0 if ent is None else ent[1] + 1)
+            self._param_versions[name] = ent
+        return (name, ent[1])
+
     def _cond_lat_key(self, fgbg_np, height, width) -> tuple:
         import hashlib
         return (hashlib.blake2b(np.ascontiguousarray(fgbg_np).tobytes(),
                                 digest_size=16).digest(),
                 fgbg_np.shape, str(fgbg_np.dtype), height, width,
-                id(self.vae_params), self._numeric_state())
+                self._params_version("vae_params"), self._numeric_state())
 
     def _dino_key(self, images_u8) -> tuple:
         import hashlib
@@ -388,7 +405,8 @@ class BlobNetPipeline:
                                          for x in images_u8),
                                 digest_size=16).digest(),
                 tuple(np.asarray(x).shape for x in images_u8),
-                self.dino_image_size, id(self.dino_params))
+                self.dino_image_size, self._params_version("dino_params"),
+                self._numeric_state())
 
     def _dino_pooled_cached(self, images_u8) -> Array:
         """(M, Cd) pooled embeddings for a list of uint8 object images,

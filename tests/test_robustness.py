@@ -356,6 +356,43 @@ def test_cond_latent_memo_exact(tiny):
     assert not np.array_equal(new_bg, cold)
 
 
+def test_memo_keys_survive_param_replacement(tiny):
+    """Replacing a param tree on the pipeline (fine-tune reload, LoRA merge,
+    sharding round-trip) must invalidate every memoized device result keyed
+    on it — including when CPython hands the NEW tree the OLD tree's id()
+    (the _params_version map holds a strong ref precisely to make that
+    reuse harmless)."""
+    from blobctrl_tpu.models import vae as vae_lib
+    rng = np.random.RandomState(9)
+    pipe = BlobNetPipeline(**tiny)
+    H = W = 64
+    fg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    bg = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+    gs = np.stack([np.ones((1, 8, 8)), rng.rand(1, 8, 8)], -1).astype(np.float32)
+    pe = rng.randn(1, 7, 16).astype(np.float32)
+    npe = rng.randn(1, 7, 16).astype(np.float32)
+    dino = rng.randn(1, 16).astype(np.float32)
+    kw = dict(fg_image=fg, bg_image=bg, gs_score=gs, height=H, width=W,
+              num_inference_steps=2, guidance_scale=7.5, prompt_embeds=pe,
+              negative_prompt_embeds=npe, seed=1, fg_dino_feats=dino)
+
+    old = pipe(**kw).images
+    v0 = pipe._params_version("vae_params")
+    assert pipe._params_version("vae_params") == v0  # stable while unchanged
+
+    # swap in different VAE weights: the memoized conditioning latents are
+    # stale and MUST miss; the result must match a fresh pipe with the same
+    # weights (a stale hit would silently reproduce `old`)
+    new_vae = vae_lib.init_vae(jax.random.PRNGKey(123), pipe.vae_cfg)
+    pipe.vae_params = new_vae
+    assert pipe._params_version("vae_params") != v0
+    swapped = pipe(**kw).images
+    fresh = BlobNetPipeline(**dict(tiny, vae_params=new_vae))(**kw).images
+    np.testing.assert_array_equal(swapped, fresh)
+    assert not np.array_equal(swapped, old)
+    assert len(pipe._cond_lat_cache) == 2  # old + new entries coexist
+
+
 @pytest.mark.slow
 def test_seed_none_draws_fresh_noise(tiny):
     rng = np.random.RandomState(0)
