@@ -9,6 +9,9 @@ dependency.
 Endpoints
   GET  /healthz     -> 200 "ok" once the model is warm
   GET  /v1/info     -> model geometry, schedulers, device, warmup state
+  GET  /v1/progress -> in-flight edit progress {"active", "step", "total"}
+                       (step counts only for preview-mode edits; plain edits
+                       run one opaque device program)
   POST /v1/edit     -> run one edit; JSON body:
       {
         "prompt": str | ["p1", ...],            (or "prompt_embeds": nested list)
@@ -23,9 +26,14 @@ Endpoints
         "blobnet_conditioning_scale": float,
         "blobnet_control_guidance_start"/"_end": float,
         "seed": int | null, "num_samples": int, "scheduler": str,
-        "encoder_cache_interval": int            (opt-in fast mode)
+        "encoder_cache_interval": int,           (opt-in fast mode)
+        "preview": bool                          (requires --preview_every N:
+                                                  returns approximate RGB
+                                                  thumbnails of intermediate
+                                                  steps + live /v1/progress)
       }
-      -> {"images": [base64 PNG, ...], "seconds": float}
+      -> {"images": [base64 PNG, ...], "seconds": float,
+          "previews": [base64 PNG, ...], "preview_steps": [int, ...]}
 
 Design notes
   * The TPU is a single exclusive resource: requests serialize through a
@@ -88,10 +96,13 @@ def _decode_image(b64: str, field: str = "image") -> np.ndarray:
 
 
 def _encode_image(arr: np.ndarray) -> str:
+    return _encode_u8_png(np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8))
+
+
+def _encode_u8_png(arr: np.ndarray) -> str:
     from PIL import Image
-    img = Image.fromarray(np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8))
     buf = io.BytesIO()
-    img.save(buf, format="PNG")
+    Image.fromarray(arr).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
@@ -127,12 +138,20 @@ class EditService:
 
     def __init__(self, pipeline, size: int = 512, strict_shapes: bool = True,
                  max_body_bytes: Optional[int] = None,
-                 max_batch: int = 1, batch_window_ms: float = 25.0):
+                 max_batch: int = 1, batch_window_ms: float = 25.0,
+                 preview_every: int = 0):
         self.pipeline = pipeline
         self.size = size
         self.lock = threading.Lock()
         self.warm = False
         self.requests_served = 0
+        # in-flight progress/preview: one edit holds the chip at a time, so
+        # a single dict is the whole state. step counts arrive only from
+        # preview-mode edits (plain edits run one opaque device program —
+        # per-step progress would cost the very d2h transfers previews pay
+        # for deliberately).
+        self.preview_every = max(0, int(preview_every))
+        self.progress = {"active": False, "step": None, "total": None}
         self.strict_shapes = strict_shapes
         self.max_body_bytes = max_body_bytes or self.MAX_BODY_BYTES
         # populated by warmup(); None = no warm-shape pinning yet
@@ -183,6 +202,12 @@ class EditService:
             kw["fg_dino_feats"] = np.zeros((1, dc), np.float32)
         with self.lock:
             self.pipeline(**kw)
+            if self.preview_every > 0:
+                # preview mode selects a different XLA program (the
+                # step-callback variant of the same loop); warm it so the
+                # first preview request does not compile under the lock
+                self.pipeline(callback_on_step_end=lambda *a: None,
+                              callback_interval=self.preview_every, **kw)
             # remove mode: strength 0 + bg-only score (see edit())
             kw_rm = dict(kw, blobnet_conditioning_scale=0.0,
                          gs_score=np.asarray(
@@ -239,6 +264,10 @@ class EditService:
             cold.append("num_samples")
         if int(req.get("encoder_cache_interval", 0)) != 0:
             cold.append("encoder_cache_interval")
+        if bool(req.get("preview")) and bool(req.get("remove")):
+            # warmup compiles the preview (step-callback) variant of the
+            # standard graph only, not of the remove-mode graph
+            cold.append("preview+remove")
         if cold:
             raise ValueError(
                 f"non-default {'/'.join(cold)} selects a graph that was not "
@@ -320,10 +349,16 @@ class EditService:
             blobnet_control_guidance_end=float(
                 req.get("blobnet_control_guidance_end", 1.0)),
             scheduler=str(req.get("scheduler", "unipc")))
+        preview = bool(req.get("preview"))
+        if preview and self.preview_every == 0:
+            raise ValueError(
+                "preview requested but the server was started without "
+                "preview support (preview_every=0 / no --preview_every)")
         extras = dict(num_samples=num_samples,
                       encoder_cache_interval=int(
                           req.get("encoder_cache_interval", 0)),
-                      remove=remove, gs_channels=int(gs.shape[-1]))
+                      remove=remove, gs_channels=int(gs.shape[-1]),
+                      preview=preview)
         return per, shared, extras
 
     def edit(self, req: dict) -> dict:
@@ -334,7 +369,7 @@ class EditService:
         # at batch 1)
         eligible = (self.max_batch > 1 and extras["num_samples"] == 1
                     and extras["encoder_cache_interval"] == 0
-                    and not extras["remove"])
+                    and not extras["remove"] and not extras["preview"])
         if not eligible:
             return self._edit_solo(per, shared, extras)
         pe = per.get("prompt_embeds")
@@ -369,13 +404,40 @@ class EditService:
                   "negative_prompt_embeds", "fg_dino_feats"):
             if k in per:
                 kw[k] = per[k]
+        previews: List[str] = []
+        preview_steps: List[int] = []
+        if extras.get("preview"):
+            from blobctrl_tpu.pipeline import preview as preview_lib
+            total = int(kw["num_inference_steps"])
+
+            def on_step(_pipe, i, _t, tensors):
+                # first sample only — previews are a UX aid, not output
+                rgb = preview_lib.latent_to_rgb(
+                    tensors["latents"][:1], upscale=2)[0]
+                previews.append(_encode_u8_png(rgb))
+                preview_steps.append(int(i))
+                self.progress.update(step=int(i) + 1, total=total)
+
+            kw["callback_on_step_end"] = on_step
+            kw["callback_interval"] = self.preview_every
         t0 = time.perf_counter()
         with self.lock:
-            out = self.pipeline(**kw)
+            self.progress.update(
+                active=True, step=None,
+                total=int(kw["num_inference_steps"]))
+            try:
+                out = self.pipeline(**kw)
+            finally:
+                self.progress.update(active=False, step=None, total=None)
             self.requests_served += 1
         sec = time.perf_counter() - t0
         resp = {"images": [_encode_image(im) for im in out.images],
                 "seconds": round(sec, 4)}
+        if extras.get("preview"):
+            # debug.callback delivery order is unspecified — sort by step
+            order = np.argsort(preview_steps)
+            resp["previews"] = [previews[i] for i in order]
+            resp["preview_steps"] = [preview_steps[i] for i in order]
         if out.nsfw_content_detected is not None:
             resp["nsfw_content_detected"] = [
                 bool(v) for v in np.asarray(out.nsfw_content_detected).ravel()]
@@ -424,7 +486,13 @@ class EditService:
             padded = reqs + [reqs[-1]] * (target - len(reqs))
             t0 = time.perf_counter()
             with self.lock:
-                out = self.pipeline.edit_batch(padded, **batch[0].shared)
+                self.progress.update(
+                    active=True, step=None,
+                    total=int(batch[0].shared["num_inference_steps"]))
+                try:
+                    out = self.pipeline.edit_batch(padded, **batch[0].shared)
+                finally:
+                    self.progress.update(active=False, step=None, total=None)
                 self.requests_served += len(batch)
             sec = time.perf_counter() - t0
             self.batches_run += 1
@@ -460,6 +528,7 @@ class EditService:
             "batch_window_ms": round(self.batch_window_s * 1000.0, 3),
             "batches_run": self.batches_run,
             "batched_requests": self.batched_requests,
+            "preview_every": self.preview_every,
         }
 
 
@@ -481,6 +550,8 @@ def make_handler(service: EditService):
                            content_type="text/plain")
             elif self.path == "/v1/info":
                 self._send(200, service.info())
+            elif self.path == "/v1/progress":
+                self._send(200, dict(service.progress))
             else:
                 self._send(404, {"error": "not found"})
 
@@ -516,11 +587,13 @@ def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
           size: int = 512, warmup_steps: Optional[int] = 50,
           strict_shapes: bool = True,
           max_body_bytes: Optional[int] = None,
-          max_batch: int = 1, batch_window_ms: float = 25.0):
+          max_batch: int = 1, batch_window_ms: float = 25.0,
+          preview_every: int = 0):
     service = EditService(pipeline, size=size, strict_shapes=strict_shapes,
                           max_body_bytes=max_body_bytes,
                           max_batch=max_batch,
-                          batch_window_ms=batch_window_ms)
+                          batch_window_ms=batch_window_ms,
+                          preview_every=preview_every)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     if warmup_steps:
         threading.Thread(target=service.warmup, args=(warmup_steps,),
@@ -549,6 +622,10 @@ def main():
     p.add_argument("--batch_window_ms", type=float, default=25.0,
                    help="how long the batcher waits for more requests "
                         "before dispatching a partial batch")
+    p.add_argument("--preview_every", type=int, default=0,
+                   help="enable in-flight latent previews: requests with "
+                        '"preview": true get an approximate RGB thumbnail '
+                        "every N steps plus live /v1/progress (0 = off)")
     args = p.parse_args()
 
     from blobctrl_tpu.params import io as io_lib
@@ -557,7 +634,8 @@ def main():
                            warmup_steps=None if args.no_warmup else 50,
                            strict_shapes=not args.allow_cold_shapes,
                            max_batch=args.max_batch,
-                           batch_window_ms=args.batch_window_ms)
+                           batch_window_ms=args.batch_window_ms,
+                           preview_every=args.preview_every)
     print(f"serving on {args.host}:{args.port} (warming up in background)")
     httpd.serve_forever()
 

@@ -448,7 +448,7 @@ class BlobNetPipeline:
                      encoder_cache: bool = False, decode: bool = True,
                      cfg_interval: bool = False, eta: float = 0.0,
                      custom_timesteps: Optional[Tuple[int, ...]] = None,
-                     step_callback: bool = False):
+                     step_callback: int = 0):
         """One jitted graph for the WHOLE edit: batched VAE encode of both
         conditioning images, score/feature-splat prep, the denoise loop, and
         the VAE decode. Fusing the fixed path matters on top of the loop: the
@@ -717,12 +717,28 @@ class BlobNetPipeline:
                 # bound trampoline that reads self._step_callback, so
                 # swapping the user callback never recompiles. Read-only:
                 # see __call__ for the documented divergence.
+                # step_callback > 1 fires only every Nth step (plus the
+                # final step): the lax.cond skips the whole device->host
+                # latent transfer on silent steps, which is what makes
+                # preview streaming affordable over a thin d2h link.
                 inner_sched_step = sched_step
+                cb_every = int(step_callback)
 
                 def sched_step(i, noise_pred, state):
                     new_state = inner_sched_step(i, noise_pred, state)
-                    jax.debug.callback(self._emit_step_callback, i,
-                                       sched.timesteps_jax[i], new_state[0])
+                    if cb_every > 1:
+                        jax.lax.cond(
+                            jnp.logical_or(i % cb_every == 0,
+                                           i == num_steps - 1),
+                            lambda lat: jax.debug.callback(
+                                self._emit_step_callback, i,
+                                sched.timesteps_jax[i], lat),
+                            lambda lat: None,
+                            new_state[0])
+                    else:
+                        jax.debug.callback(self._emit_step_callback, i,
+                                           sched.timesteps_jax[i],
+                                           new_state[0])
                     return new_state
 
             if not encoder_cache:
@@ -908,6 +924,7 @@ class BlobNetPipeline:
                  cross_attention_kwargs: Optional[dict] = None,
                  callback_on_step_end: Optional[Callable] = None,
                  callback_on_step_end_tensor_inputs: Sequence[str] = ("latents",),
+                 callback_interval: int = 1,
                  return_sample: bool = False) -> PipelineOutput:
         """Runs one element-level edit. gs_score: (1, h, w, 2) channels-last
         [bg, fg] composited score map (see blob.math.blob_score_from_ellipse),
@@ -926,7 +943,11 @@ class BlobNetPipeline:
         cb(pipe, i, t, {"latents": np.ndarray}). READ-ONLY divergence from
         the reference: the loop is one compiled TPU graph, so returned
         tensor updates are ignored (warned once). Fetching latents each
-        step costs device->host bandwidth — leave None for the fast path."""
+        step costs device->host bandwidth — leave None for the fast path.
+        callback_interval: fire the callback only on steps where
+        i % callback_interval == 0, plus the final step (a lax.cond skips
+        the device->host latent transfer entirely on silent steps). Static:
+        each distinct interval compiles its own graph."""
         if ip_adapter_image is not None or ip_adapter_image_embeds is not None:
             raise NotImplementedError(
                 "IP-Adapter conditioning is not supported (the reference "
@@ -947,6 +968,9 @@ class BlobNetPipeline:
                     "'scale' (pipeline_blobnet.py:1044-1050)")
             if cross_attention_kwargs.get("scale") is not None:
                 self.set_lora_scale(float(cross_attention_kwargs["scale"]))
+        if int(callback_interval) < 1:
+            raise ValueError(
+                f"callback_interval must be >= 1, got {callback_interval}")
         bad = set(callback_on_step_end_tensor_inputs) - {"latents"}
         if bad:
             raise ValueError(
@@ -1105,8 +1129,10 @@ class BlobNetPipeline:
                                         cfg_interval=cfg_interval,
                                         eta=eta,
                                         custom_timesteps=custom_timesteps,
-                                        step_callback=callback_on_step_end
-                                        is not None)
+                                        step_callback=(
+                                            int(callback_interval)
+                                            if callback_on_step_end
+                                            is not None else 0))
         self._step_callback = callback_on_step_end
         self._step_callback_warned = False
         try:

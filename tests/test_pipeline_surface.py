@@ -192,6 +192,26 @@ def test_callback_on_step_end_sees_every_step(pipe):
     assert pipe._step_callback is None
 
 
+def test_callback_interval_skips_transfers_but_keeps_final_step(pipe):
+    """callback_interval=N fires only on i % N == 0 plus the final step
+    (the lax.cond skips the d2h latent transfer on silent steps), without
+    changing the output."""
+    base = pipe(**_kwargs()).images
+    seen = []
+
+    def cb(p, i, t, tensors):
+        assert tensors["latents"].shape == (1, 8, 8, 4)
+        seen.append(int(i))
+
+    out = pipe(callback_on_step_end=cb, callback_interval=4,
+               **_kwargs()).images
+    np.testing.assert_allclose(base, out, atol=1e-6)
+    assert sorted(seen) == [0, 4, 5]  # 6 steps: multiples of 4 + final
+
+    with pytest.raises(ValueError, match="callback_interval"):
+        pipe(callback_on_step_end=cb, callback_interval=0, **_kwargs())
+
+
 def test_callback_tensor_updates_warn_once(pipe):
     """Returning tensor updates from the callback is a reference behavior
     the one-graph design cannot honor — warn (once), don't crash."""

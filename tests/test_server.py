@@ -285,3 +285,92 @@ def test_batch_error_propagates_to_all_waiters(batch_server):
     # batcher thread survived: the same request now succeeds
     code, resp = _post(base + "/v1/edit", payload)
     assert code == 200 and resp["batch_size"] == 1
+
+
+@pytest.fixture(scope="module")
+def preview_server(server):
+    """Preview-enabled service over the SAME tiny pipeline (reuses the
+    module fixture's compiled graphs; only the step-callback variant of the
+    2-step graph compiles cold here)."""
+    _, base_service = server
+    service, httpd = serve(base_service.pipeline, host="127.0.0.1", port=0,
+                           size=64, warmup_steps=None, preview_every=2)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+
+
+def _edit_payload(steps=4):
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (64, 64, 3)).astype(np.uint8)
+    return {
+        "fg_image": _b64_png(img), "bg_image": _b64_png(img),
+        "ellipse": [32, 32, 20, 28, 0], "num_inference_steps": steps,
+        "seed": 5, "size": 64,
+        "prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "negative_prompt_embeds": rng.randn(1, 7, 16).tolist(),
+        "fg_dino_feats": rng.randn(1, 16).tolist(),
+    }
+
+
+def test_preview_rejected_when_disabled(server):
+    base, _ = server
+    code, resp = _post(base + "/v1/edit", dict(_edit_payload(), preview=True))
+    assert code == 400 and "preview" in resp["error"]
+
+
+@pytest.mark.slow
+def test_preview_roundtrip_and_progress(preview_server):
+    """preview:true returns approximate intermediate thumbnails on the
+    configured cadence (every 2nd step + final), identical final images to
+    a plain run, and /v1/progress is idle again afterwards."""
+    from PIL import Image
+
+    base, service = preview_server
+    code, plain = _post(base + "/v1/edit", _edit_payload())
+    assert code == 200 and "previews" not in plain
+    code, resp = _post(base + "/v1/edit", dict(_edit_payload(), preview=True))
+    assert code == 200
+    # observing previews must not perturb the edit
+    assert resp["images"] == plain["images"]
+    assert resp["preview_steps"] == [0, 2, 3]
+    assert len(resp["previews"]) == 3
+    for b64 in resp["previews"]:
+        arr = np.asarray(Image.open(io.BytesIO(base64.b64decode(b64))))
+        assert arr.shape == (16, 16, 3)  # 8x8 latents, upscale 2
+    with urllib.request.urlopen(base + "/v1/progress") as r:
+        prog = json.loads(r.read())
+    assert prog == {"active": False, "step": None, "total": None}
+    with urllib.request.urlopen(base + "/v1/info") as r:
+        assert json.loads(r.read())["preview_every"] == 2
+
+
+@pytest.mark.slow
+def test_preview_progress_visible_mid_edit(preview_server):
+    """/v1/progress reports the live step count while a preview edit holds
+    the chip."""
+    base, service = preview_server
+    mid = {}
+    orig = service.pipeline.__class__.__call__
+
+    def probing(pipe_self, *a, **kw):
+        cb = kw.get("callback_on_step_end")
+        if cb is not None:
+            def wrapped(p, i, t, tensors):
+                cb(p, i, t, tensors)
+                mid.setdefault("snapshots", []).append(
+                    dict(service.progress))
+            kw["callback_on_step_end"] = wrapped
+        return orig(pipe_self, *a, **kw)
+
+    service.pipeline.__class__.__call__ = probing
+    try:
+        code, resp = _post(base + "/v1/edit",
+                           dict(_edit_payload(), preview=True))
+        assert code == 200
+    finally:
+        service.pipeline.__class__.__call__ = orig
+    snaps = mid["snapshots"]
+    assert all(s["active"] and s["total"] == 4 for s in snaps)
+    assert [s["step"] for s in snaps] == [1, 3, 4]
