@@ -416,7 +416,12 @@ class EditService:
                     tensors["latents"][:1], upscale=2)[0]
                 previews.append(_encode_u8_png(rgb))
                 preview_steps.append(int(i))
-                self.progress.update(step=int(i) + 1, total=total)
+                # debug.callback delivery order is unspecified: keep the
+                # published step count monotone so /v1/progress never
+                # reports a step going backwards mid-edit
+                self.progress.update(
+                    step=max(self.progress.get("step") or 0, int(i) + 1),
+                    total=total)
 
             kw["callback_on_step_end"] = on_step
             kw["callback_interval"] = self.preview_every

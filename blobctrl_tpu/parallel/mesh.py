@@ -21,6 +21,58 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def parse_mesh_spec(spec: str) -> dict:
+    """Parse the launch-flag mesh spec ``"data=N,model=M"`` (axis order
+    free; either axis may be omitted — ``model`` defaults to 1 and ``data``
+    to "fill with the remaining devices"; ``data=auto`` is the explicit
+    spelling of that default). Returns kwargs for :func:`make_mesh`."""
+    out = {"data": None, "model": 1}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"bad mesh spec segment {part!r}: expected 'data=N,model=M'")
+        k, v = (s.strip() for s in part.split("=", 1))
+        if k not in out:
+            raise ValueError(
+                f"unknown mesh axis {k!r}: expected 'data' and/or 'model'")
+        out[k] = None if v in ("auto", "") else int(v)
+    if out["model"] is None:
+        out["model"] = 1
+    if out["model"] < 1 or (out["data"] is not None and out["data"] < 1):
+        raise ValueError(f"mesh axis sizes must be >= 1: {spec!r}")
+    return out
+
+
+def shard_pipeline_from_flags(pipe, mesh_spec: Optional[str] = None,
+                              hybrid_cfg_data: bool = False):
+    """One-stop launch-flag surface for the sharded inference recipes: build
+    the mesh from ``--mesh data=N,model=M`` and apply the right
+    ``shard_to_mesh`` recipe. With ``--hybrid_cfg_data`` and no explicit
+    mesh, defaults to the projected-fastest v5e-4 single-edit recipe
+    (data=2 over the CFG pair x model over the rest, PERF_NOTES "TP latency
+    projection" path 2). Returns the mesh (or None when no sharding was
+    requested). The pipeline enters the mesh context itself per call, so
+    callers need no ``with mesh:`` block."""
+    if not mesh_spec and not hybrid_cfg_data:
+        return None
+    if mesh_spec:
+        kw = parse_mesh_spec(mesh_spec)
+    else:
+        kw = {"data": 2, "model": max(1, len(jax.devices()) // 2)}
+    mesh = make_mesh(**kw)
+    if hybrid_cfg_data and mesh.shape["data"] < 2:
+        raise ValueError(
+            "--hybrid_cfg_data shards the CFG pair over the data axis: "
+            f"need data >= 2, got mesh {dict(mesh.shape)}")
+    pipe.shard_to_mesh(mesh=mesh,
+                       model_parallel=mesh.shape["model"] > 1,
+                       hybrid_cfg_data=hybrid_cfg_data)
+    return mesh
+
+
 def make_mesh(data: Optional[int] = None, model: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -35,6 +35,10 @@ LATENT_RGB_FACTORS = np.array(
      [0.187, 0.286, 0.173],
      [-0.158, 0.189, 0.264],
      [-0.184, -0.271, -0.473]], dtype=np.float32)
+# the conventional application is rgb = 0.5 * (x @ F) + 0.5: the projection
+# lands roughly in [-1, 1] and the affine maps it to [0, 1] (same transform
+# the real decode path applies to VAE output, blobnet_pipeline edit())
+LATENT_RGB_SCALE = np.float32(0.5)
 LATENT_RGB_BIAS = np.float32(0.5)
 
 
@@ -60,7 +64,7 @@ def latent_to_rgb(latents: np.ndarray, out_width: Optional[int] = None,
     if not 1 <= w <= x.shape[2]:
         raise ValueError(f"out_width {w} outside 1..{x.shape[2]}")
     x = x[:, :, x.shape[2] - w:, :]
-    rgb = x @ LATENT_RGB_FACTORS + LATENT_RGB_BIAS
+    rgb = (x @ LATENT_RGB_FACTORS) * LATENT_RGB_SCALE + LATENT_RGB_BIAS
     rgb = np.clip(rgb * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
     u = int(upscale)
     if u > 1:

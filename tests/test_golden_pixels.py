@@ -88,8 +88,14 @@ def test_total_exact_count(scores):
 def test_move_cup_fixture_is_stale_and_structurally_close(scores):
     """Pin the evidence that move_cup's recorded pixels don't come from its
     recorded state (so if upstream ever fixes the fixture, this fails and
-    move_cup moves into the exact gate). Still require structural agreement:
-    rendered vs recorded masks overlap to IoU > 0.9."""
+    move_cup moves into the exact gate), with a sharp structural bound:
+    ellipse-fit both masks and show the recorded mask's center sits on the
+    final TRACKING POINT (< 1.5 px) rather than on state.json's final
+    ellipse center (> 2 px away), while our render sits on the state's
+    ellipse center to < 0.5 px with the same axes to < 1.5 px — i.e. the
+    renderer is faithful to the state and the fixture is a displaced
+    recording of an earlier state, not a different blob."""
+    cv2 = pytest.importorskip("cv2")
     with open(os.path.join(DEMO_ROOT, "move_cup", "state",
                            "state.json")) as f:
         state = json.load(f)
@@ -109,10 +115,32 @@ def test_move_cup_fixture_is_stale_and_structurally_close(scores):
     rec = ui_render._load_png(os.path.join(
         DEMO_ROOT, "move_cup", "edited_result_gallery",
         "edited_result_gallery_1.png"))[..., 0]
-    ours = out["edited_mask"] > 127
-    theirs = rec > 127
-    iou = (ours & theirs).sum() / max((ours | theirs).sum(), 1)
-    assert iou > 0.9, iou
+
+    def fit(mask):
+        cnts, _ = cv2.findContours(mask.astype(np.uint8), cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+        return cv2.fitEllipse(max(cnts, key=cv2.contourArea))
+
+    ours_fit = fit(out["edited_mask"] > 127)
+    rec_fit = fit(rec > 127)
+    state_center = np.asarray(e[1][0][0])   # final ellipse center
+    final_tp = np.asarray(tp[1], float)     # final tracking point
+
+    # our render is faithful to the recorded state
+    assert np.linalg.norm(np.asarray(ours_fit[0]) - state_center) < 0.5, \
+        (ours_fit[0], state_center)
+    # the recorded mask is NOT (the staleness proof, > 2 px off the state)
+    rec_vs_state = np.linalg.norm(np.asarray(rec_fit[0]) - state_center)
+    assert rec_vs_state > 2.0, (
+        "recorded mask now matches state.json's ellipse — move move_cup "
+        f"into the exact gate (center distance {rec_vs_state:.2f} px)")
+    # ... because it encodes the final tracking point instead
+    assert np.linalg.norm(np.asarray(rec_fit[0]) - final_tp) < 1.5, \
+        (rec_fit[0], final_tp)
+    # same blob geometry either way: axes agree to < 1.5 px
+    assert np.all(np.abs(np.asarray(rec_fit[1])
+                         - np.asarray(ours_fit[1])) < 1.5), \
+        (rec_fit[1], ours_fit[1])
 
 
 def test_stale_ori_fixtures_detectably_inconsistent():
