@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default="outputs")
     p.add_argument("--plot_ellipse", action="store_true",
                    help="additionally save outputs with the ellipse drawn")
+    p.add_argument("--mesh", default=None, metavar="data=N,model=M",
+                   help="shard the edit over a device mesh, e.g. "
+                        "'data=1,model=4' for tensor-parallel singles on a "
+                        "v5e-4 (outputs are identical to unsharded; only "
+                        "latency changes)")
+    p.add_argument("--hybrid_cfg_data", action="store_true",
+                   help="single-edit latency recipe: shard the CFG pair "
+                        "over the data axis and weights over model "
+                        "(defaults to data=2 x model=<rest> when --mesh is "
+                        "not given)")
     return p
 
 
@@ -78,6 +88,13 @@ def run(args) -> list:
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     pipe = params_io.load_pipeline(args.models_root, dtype=dtype)
+    if getattr(args, "mesh", None) or getattr(args, "hybrid_cfg_data", False):
+        from blobctrl_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.shard_pipeline_from_flags(
+            pipe, mesh_spec=args.mesh,
+            hybrid_cfg_data=args.hybrid_cfg_data)
+        print(json.dumps({"mesh": dict(mesh.shape),
+                          "hybrid_cfg_data": bool(args.hybrid_cfg_data)}))
 
     fg_image = Image.open(args.object_image)
     width, height = fg_image.size

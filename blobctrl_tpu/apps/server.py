@@ -534,6 +534,10 @@ class EditService:
             "batches_run": self.batches_run,
             "batched_requests": self.batched_requests,
             "preview_every": self.preview_every,
+            "mesh": (None if getattr(self.pipeline, "mesh", None) is None
+                     else dict(self.pipeline.mesh.shape)),
+            "hybrid_cfg_data": bool(
+                getattr(self.pipeline, "_hybrid_cfg_data", False)),
         }
 
 
@@ -631,10 +635,26 @@ def main():
                    help="enable in-flight latent previews: requests with "
                         '"preview": true get an approximate RGB thumbnail '
                         "every N steps plus live /v1/progress (0 = off)")
+    p.add_argument("--mesh", default=None, metavar="data=N,model=M",
+                   help="shard edits over a device mesh: micro-batches "
+                        "(--max_batch) shard 1-per-chip over the data axis, "
+                        "single edits tensor-shard over the model axis; "
+                        "outputs equal unsharded")
+    p.add_argument("--hybrid_cfg_data", action="store_true",
+                   help="single-edit latency recipe: CFG pair over data x "
+                        "weights over model (defaults to data=2 x "
+                        "model=<rest> when --mesh is not given)")
     args = p.parse_args()
 
     from blobctrl_tpu.params import io as io_lib
     pipeline = io_lib.load_pipeline(args.models_root)
+    if args.mesh or args.hybrid_cfg_data:
+        from blobctrl_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.shard_pipeline_from_flags(
+            pipeline, mesh_spec=args.mesh,
+            hybrid_cfg_data=args.hybrid_cfg_data)
+        print(f"sharded over mesh {dict(mesh.shape)}"
+              f" (hybrid_cfg_data={args.hybrid_cfg_data})")
     service, httpd = serve(pipeline, args.host, args.port,
                            warmup_steps=None if args.no_warmup else 50,
                            strict_shapes=not args.allow_cold_shapes,
