@@ -99,12 +99,21 @@ def shard_batch(mesh: Mesh, tree):
 def _model_spec_for(path: str, arr, axes=("model",)) -> P:
     """Partition spec for one param leaf under model (tensor) sharding.
 
-    Megatron-style pairing over the transformer sublayers so consecutive
-    matmuls contract over the sharded dimension instead of resharding:
-      * column-parallel (output dim sharded): to_q/k/v, ff.proj_in
+    Megatron-style pairing so consecutive contractions ride the sharded
+    dimension instead of resharding (the production-geometry compile audit,
+    parallel/compile_audit.py, showed naive all-output-channel conv sharding
+    costs ~3x the step payload in activation all-gathers):
+      * column-parallel (output dim sharded): to_q/k/v, ff.proj_in,
+        resnet conv1 (+ time_emb_proj, whose output adds to conv1's)
       * row-parallel (input dim sharded, psum after): attn to_out,
-        ff.proj_out — their biases stay replicated (added post-reduce)
-      * convs: output-channel sharded (the resnet stack's natural split)
+        ff.proj_out, resnet conv2 — their biases stay replicated (added
+        post-reduce)
+      * conv_shortcut and BlobNet zero-taps: replicated — their outputs add
+        to full (post-all-reduce) activations, so sharding them would buy a
+        per-use activation all-gather to save a trivial 1x1 conv
+      * remaining convs (conv_in/out, up/down-samplers): output-channel
+        sharded; the consumer gathers the (smaller, level-boundary)
+        activation
     GSPMD inserts the all-reduce/all-gather collectives; any spec is
     numerically identical — these only set the communication pattern.
 
@@ -114,28 +123,43 @@ def _model_spec_for(path: str, arr, axes=("model",)) -> P:
     """
     ax = axes[0] if len(axes) == 1 else tuple(axes)
     is_kernel = path.endswith(".kernel")
-    row_parallel = (".to_out." in path or ".proj_out." in path)
+    row_parallel = (".to_out." in path or ".proj_out." in path
+                    or ".conv2." in path)
+    # Transformer2D's spatial proj_in/proj_out are 1x1 convs (4D; the ff's
+    # are 2D linears): replicate them so transformer-block inputs stay full
+    # — sharding them makes every block-level LayerNorm gather its input.
+    replicate = (".conv_shortcut." in path or ".zero_down." in path
+                 or ".zero_mid." in path or ".zero_up." in path
+                 or ((".proj_in." in path or ".proj_out." in path)
+                     and (arr.ndim == 4
+                          or (arr.ndim == 1 and ".ff." not in path))))
+    if replicate:
+        return P()
     if is_kernel and arr.ndim == 2:
         return P(ax, None) if row_parallel else P(None, ax)
     if is_kernel and arr.ndim == 4:
-        return P(None, None, None, ax)
+        return (P(None, None, ax, None) if row_parallel
+                else P(None, None, None, ax))
     if path.endswith(".bias") and arr.ndim == 1 and not row_parallel:
         return P(ax)
     return P()
 
 
-def shard_params(mesh: Mesh, params, model_parallel: bool = False,
-                 axes=("model",)):
-    """Place a param tree on the mesh: replicated, or with large kernels
-    sharded over the given mesh axes (GSPMD handles the rest)."""
+def param_shardings(mesh: Mesh, params, model_parallel: bool = False,
+                    axes=("model",)):
+    """NamedSharding tree for a param tree (or a matching tree of
+    jax.ShapeDtypeStruct — anything with .shape): the placement
+    :func:`shard_params` would apply, without touching device memory.
+    Lets AOT compiles of production-size graphs lower against abstract
+    params instead of materializing gigabytes of weights."""
     msize = 1
     for a in axes:
         msize *= mesh.shape[a]
     if not model_parallel or msize == 1:
         s = replicated(mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), params)
+        return jax.tree_util.tree_map(lambda x: s, params)
 
-    def place(path, arr):
+    def spec_of(path, arr):
         keys = [p.key if hasattr(p, "key") else str(getattr(p, "idx", p))
                 for p in path]
         spec = _model_spec_for("." + ".".join(str(k) for k in keys), arr,
@@ -145,6 +169,14 @@ def shard_params(mesh: Mesh, params, model_parallel: bool = False,
             if name is not None and arr.shape[ax_i] % msize != 0:
                 spec = P()
                 break
-        return jax.device_put(arr, NamedSharding(mesh, spec))
+        return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(spec_of, params)
+
+
+def shard_params(mesh: Mesh, params, model_parallel: bool = False,
+                 axes=("model",)):
+    """Place a param tree on the mesh: replicated, or with large kernels
+    sharded over the given mesh axes (GSPMD handles the rest)."""
+    shardings = param_shardings(mesh, params, model_parallel, axes)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
