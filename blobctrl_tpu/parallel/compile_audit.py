@@ -234,6 +234,19 @@ def compile_production_edit(recipe: str, mesh=None, size: int = 512,
         mem = compiled.memory_analysis()
     except Exception:  # noqa: BLE001
         mem = None
+    # per-(op, shape) histogram inside the denoise body: the provenance map
+    # for resharding traffic (which activation shape is being gathered)
+    hist: Dict[Tuple[str, str], Dict[str, int]] = {}
+    for c in colls:
+        if c.computation == body_name:
+            h = hist.setdefault((c.op, c.shape), {"count": 0, "bytes": 0})
+            h["count"] += 1
+            h["bytes"] += c.bytes
+    top_shapes = [
+        {"op": op, "shape": shape, **st}
+        for (op, shape), st in sorted(hist.items(),
+                                      key=lambda kv: -kv[1]["bytes"])][:25]
+
     report = {
         "recipe": recipe,
         "mesh": dict(mesh.shape),
@@ -242,6 +255,7 @@ def compile_production_edit(recipe: str, mesh=None, size: int = 512,
         "collectives_total": {"count": len(colls),
                               "bytes": sum(c.bytes for c in colls)},
         "while_body": {"computation": body_name, **body},
+        "while_body_top_shapes": top_shapes,
         "by_computation": by_comp,
         # the CPU backend dumps thousands of per-op utilization rows; keep
         # the module-level scalars only (TPU's cost model uses these names)

@@ -28,7 +28,8 @@ def test_dryrun_multichip_clean():
     assert "SPMD check: involuntary rematerializations=0" in proc.stdout, \
         proc.stdout[-3000:]
     for recipe in ("train", "inference DP", "inference TP",
-                   "TP model=4", "hybrid CFG-data x model"):
+                   "TP model=4", "hybrid CFG-data x model",
+                   "production 512^2 sharded compile"):
         assert f"OK ({recipe})" in proc.stdout or \
             f"OK (inference {recipe})" in proc.stdout, (recipe,
                                                         proc.stdout[-3000:])
