@@ -24,6 +24,7 @@ from blobctrl_tpu.nn import layers
 from blobctrl_tpu.nn import resnet as rn
 from blobctrl_tpu.nn import unet_blocks as ub
 from blobctrl_tpu.models import unet as unet_lib
+from blobctrl_tpu.parallel import kernel_sharding
 
 Array = jax.Array
 
@@ -157,6 +158,7 @@ def num_residuals(cfg: BlobNetConfig) -> Tuple[int, int, int]:
     return down, 1, up
 
 
+@kernel_sharding.scoped("blobnet")
 def blobnet_apply(params, cfg: BlobNetConfig, sample: Array, timesteps: Array,
                   conditioning_scale: Union[float, Array] = 1.0,
                   guess_mode: bool = False,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from blobctrl_tpu.nn import layers, embeddings
 from blobctrl_tpu.nn import unet_blocks as ub
+from blobctrl_tpu.parallel import kernel_sharding
 
 Array = jax.Array
 
@@ -109,6 +110,7 @@ def _norm_timesteps(timesteps: Array, batch: int) -> Array:
     return timesteps
 
 
+@kernel_sharding.scoped("unet")
 def unet_encode(params, cfg: UNetConfig, sample: Array, timesteps: Array,
                 encoder_hidden_states: Optional[Array] = None,
                 down_block_add_samples: Optional[Sequence[Array]] = None,
@@ -142,6 +144,7 @@ def unet_encode(params, cfg: UNetConfig, sample: Array, timesteps: Array,
     return x, tuple(res_stack)
 
 
+@kernel_sharding.scoped("unet")
 def unet_decode(params, cfg: UNetConfig, x: Array, skip_stack, timesteps: Array,
                 encoder_hidden_states: Optional[Array] = None,
                 up_block_add_samples: Optional[Sequence[Array]] = None,

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from blobctrl_tpu.nn import layers, resnet as rn
+from blobctrl_tpu.parallel import kernel_sharding
 
 Array = jax.Array
 
@@ -105,12 +106,14 @@ def sample_latents(moments: Array, key: Optional[jax.Array] = None) -> Array:
     return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
 
 
+@kernel_sharding.scoped("vae")
 def encode_to_scaled_latents(params, cfg: VAEConfig, image: Array,
                              key: Optional[jax.Array] = None) -> Array:
     """The pipeline's encode_latents path (pipeline_blobnet.py:300-309)."""
     return sample_latents(encode(params, cfg, image), key) * cfg.scaling_factor
 
 
+@kernel_sharding.scoped("vae")
 def decode_from_scaled_latents(params, cfg: VAEConfig, latents: Array) -> Array:
     return decode(params, cfg, latents / cfg.scaling_factor)
 

@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 
 from blobctrl_tpu.nn import layers
+from blobctrl_tpu.parallel import kernel_sharding
 
 Array = jax.Array
 
-# Attention backend: "xla" | "pallas" | "auto".
+# Attention backend: "xla" | "pallas" | "interpret" | "auto".
 # "auto" uses the Pallas flash kernel for long self-attention on TPU and XLA
-# otherwise. Set via set_attention_backend(); read statically at trace time.
+# otherwise; "interpret" forces the flash kernel in Pallas interpret mode
+# (CPU tests of the kernel + its shard_map wrapper).
+# Set via set_attention_backend(); read statically at trace time.
 _ATTENTION_BACKEND = "auto"
 # Sequence length at or above which "auto" routes to the flash kernel.
 _FLASH_MIN_SEQ = 1024
@@ -72,7 +75,7 @@ def _use_ln_fuse() -> bool:
 def set_attention_backend(backend: str, qk_int8: Optional[bool] = None,
                           int8_global_k: Optional[bool] = None):
     global _ATTENTION_BACKEND, _ATTENTION_INT8, _ATTENTION_INT8_GLOBAL_K
-    assert backend in ("xla", "pallas", "auto"), backend
+    assert backend in ("xla", "pallas", "interpret", "auto"), backend
     _ATTENTION_BACKEND = backend
     if qk_int8 is not None:
         _ATTENTION_INT8 = bool(qk_int8)
@@ -100,11 +103,13 @@ def _use_flash(q_seq: int, kv_seq: int, head_dim: int, has_mask: bool) -> bool:
         return False
     if has_mask:
         return False
-    if jax.default_backend() != "tpu":
-        return False
     if kv_seq % 128 != 0:
         # the kernel cannot tile such kv (77-token cross-attention) —
         # always the XLA path, even when the backend is forced to "pallas"
+        return False
+    if _ATTENTION_BACKEND == "interpret":
+        return True
+    if jax.default_backend() != "tpu":
         return False
     if _ATTENTION_BACKEND == "pallas":
         return True
@@ -128,9 +133,22 @@ def multi_head_attention(q: Array, k: Array, v: Array, heads: int,
     qh, kh, vh = split(q, sq), split(k, sk), split(v, sk)
     if _use_flash(sq, sk, d, mask is not None):
         from blobctrl_tpu.ops import flash_attention
-        out = flash_attention.flash_attention(
-            qh, kh, vh, scale=scale, qk_int8=_ATTENTION_INT8,
-            int8_global_k=_ATTENTION_INT8_GLOBAL_K)
+
+        def flash(q3, k3, v3):
+            return flash_attention.flash_attention(
+                q3, k3, v3, scale=scale, qk_int8=_ATTENTION_INT8,
+                interpret=_ATTENTION_BACKEND == "interpret",
+                int8_global_k=_ATTENTION_INT8_GLOBAL_K)
+
+        prof = kernel_sharding.current()
+        if prof is not None:
+            # Pallas under SPMD: heads ride the model axes (to_q/k/v are
+            # column-parallel, so they arrive local), batch the data axes —
+            # zero collectives (parallel.kernel_sharding module docstring)
+            out = kernel_sharding.shard_flash_attention(flash, qh, kh, vh,
+                                                        prof)
+        else:
+            out = flash(qh, kh, vh)
     else:
         out = sdpa_xla(qh, kh, vh, scale, mask)
     if return_heads:

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from blobctrl_tpu.nn import layers
+from blobctrl_tpu.parallel import kernel_sharding
 
 Array = jax.Array
 
@@ -34,7 +35,7 @@ def get_conv_backend() -> str:
     return _CONV_BACKEND
 
 
-def _route_conv(x: Array):
+def _route_conv(x: Array, role: str = "column"):
     """-> (use_pallas, interpret) for a stride-1 same-size 3x3 conv on x.
 
     Measured on v5e (scripts/bench_conv_shapes.py + bench_conv_backends.py):
@@ -44,7 +45,11 @@ def _route_conv(x: Array):
     yet END-TO-END, routing *everything* beats both all-XLA and the per-shape
     mixed routing (3.85 s vs 3.96 / 4.02): mixed backends break XLA's fusion
     chains around the leftover GroupNorm+SiLU stragglers. So "auto" routes
-    every shape the kernel tiles (h % 8 == 0, full-row blocks)."""
+    every shape the kernel tiles (h % 8 == 0, full-row blocks).
+
+    Under an active kernel-sharding profile the heuristic sees the PER-DEVICE
+    channel count ('row' convs shard their input channels), so a shard too
+    thin for the MXU lanes routes to the sharded XLA conv instead."""
     if _CONV_BACKEND == "xla":
         return False, False
     b, h, w, c = x.shape
@@ -54,14 +59,30 @@ def _route_conv(x: Array):
         return True, True
     if _CONV_BACKEND == "pallas":
         return True, False
-    return c >= 32 and jax.default_backend() == "tpu", False
+    c_local = kernel_sharding.local_channels(x, role)
+    return c_local >= 32 and jax.default_backend() == "tpu", False
 
 
 def _conv3x3_maybe_fused(conv_params, x: Array, scale=None, shift=None,
-                         interpret: bool = False) -> Array:
+                         interpret: bool = False,
+                         role: str = "column") -> Array:
     from blobctrl_tpu.ops import conv3x3 as conv3x3_op
     # kernel_q/w_scale appear when the tree went through quantize_conv_tree
     # (int8 mode); conv3x3 ignores them unless the int8 path is active
+    prof = kernel_sharding.current()
+    if prof is not None:
+        # Pallas under SPMD: GSPMD cannot partition Mosaic kernels, so the
+        # call is wrapped in a shard_map matching the weight's Megatron role
+        # (parallel.kernel_sharding module docstring)
+        def conv_fn(x, kernel, bias, scale, shift, kernel_q, w_scale):
+            return conv3x3_op.conv3x3(x, kernel, bias, scale=scale,
+                                      shift=shift, interpret=interpret,
+                                      kernel_q=kernel_q, w_scale=w_scale)
+
+        return kernel_sharding.shard_conv3x3(
+            conv_fn, role, x, conv_params["kernel"], conv_params.get("bias"),
+            scale, shift, conv_params.get("kernel_q"),
+            conv_params.get("w_scale"), prof)
     return conv3x3_op.conv3x3(x, conv_params["kernel"],
                               conv_params.get("bias"),
                               scale=scale, shift=shift, interpret=interpret,
@@ -97,24 +118,28 @@ def init_resnet_block(key, c_in: int, c_out: int, temb_dim: Optional[int]):
 
 def resnet_block(params, x: Array, temb: Optional[Array] = None,
                  norm_groups: int = 32, eps: float = 1e-5) -> Array:
-    def norm_act_conv(conv_params, norm_params, y):
-        use_pallas, interpret = _route_conv(y)
+    def norm_act_conv(conv_params, norm_params, y, role):
+        use_pallas, interpret = _route_conv(y, role)
         if use_pallas:
             # GroupNorm folded to per-(B,C) affine; normalize+SiLU fuse into
             # the Pallas conv prologue instead of an extra HBM round-trip
             s, sh = layers.group_norm_scale_shift(norm_params, y, norm_groups,
                                                   eps)
             return _conv3x3_maybe_fused(conv_params, y, scale=s, shift=sh,
-                                        interpret=interpret)
+                                        interpret=interpret, role=role)
         y = layers.group_norm(norm_params, y, norm_groups, eps)
         y = layers.silu(y)
         return layers.conv2d(conv_params, y, padding=1)
 
-    h = norm_act_conv(params["conv1"], params["norm1"], x)
+    # Megatron roles mirror parallel.mesh._model_spec_for: conv1 column-
+    # parallel (output channels sharded), conv2 row-parallel (input channels
+    # sharded, one psum) — so the conv1 -> time-add -> GN -> conv2 chain
+    # rides the sharded channel dim end to end
+    h = norm_act_conv(params["conv1"], params["norm1"], x, "column")
     if temb is not None and "time_emb_proj" in params:
         t = layers.linear(params["time_emb_proj"], layers.silu(temb))
         h = h + t[:, None, None, :]
-    h = norm_act_conv(params["conv2"], params["norm2"], h)
+    h = norm_act_conv(params["conv2"], params["norm2"], h, "row")
     if "conv_shortcut" in params:
         x = layers.conv2d(params["conv_shortcut"], x)
     return x + h

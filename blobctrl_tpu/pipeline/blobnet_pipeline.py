@@ -185,6 +185,7 @@ class BlobNetPipeline:
         (batch 1, shared by both CFG rows via the dedup) tensor-shards over
         BOTH axes — halving the UNet all-reduce payload per chip vs pure TP
         at the same chip count. Implies model_parallel."""
+        from blobctrl_tpu.parallel import kernel_sharding
         from blobctrl_tpu.parallel import mesh as mesh_lib
         if mesh is not None:
             self.mesh = mesh
@@ -201,7 +202,28 @@ class BlobNetPipeline:
                         else ("model",))
                 setattr(self, name, mesh_lib.shard_params(
                     self.mesh, p, model_parallel=model_parallel, axes=axes))
+        # kernel-sharding profiles: how each model's activations are sharded
+        # inside the graph, so the Pallas call sites can wrap themselves in
+        # shard_maps GSPMD cannot synthesize (parallel.kernel_sharding).
+        # batch axes list "data" unconditionally — the per-call divisibility
+        # check drops it when the batch cannot split (single-edit B=1).
+        KP = kernel_sharding.KernelProfile
+
+        def prof(model_axes, batch_axes=("data",)):
+            return KP(self.mesh, batch=batch_axes,
+                      model=model_axes if model_parallel else ())
+
+        self._kernel_profiles = {
+            "unet": prof(("model",)),
+            "blobnet": prof(("data", "model") if hybrid_cfg_data
+                            else ("model",),
+                            () if hybrid_cfg_data else ("data",)),
+            "vae": prof(("model",), () if hybrid_cfg_data else ("data",)),
+        }
         self._denoise_cache.clear()  # sharding strategy changes the graph
+        for stale in ("_encode_image_fn", "_decode_latents_fn"):
+            if getattr(self, stale, None) is not None:
+                setattr(self, stale, None)
         return self
 
     # ------------------------------------------------------------------
@@ -315,9 +337,26 @@ class BlobNetPipeline:
     def _lazy_jit(self, name: str, make_fn):
         fn = getattr(self, name, None)
         if fn is None:
-            fn = jax.jit(make_fn())
+            fn = jax.jit(self._with_kernel_profiles(make_fn()))
             setattr(self, name, fn)
         return fn
+
+    def _with_kernel_profiles(self, fn):
+        """Wrap a to-be-jitted callable so the kernel-sharding profiles from
+        shard_to_mesh are active while JAX traces it (the Pallas call sites
+        read them to wrap themselves in shard_maps — parallel.kernel_sharding).
+        Reads self._kernel_profiles at trace time; shard_to_mesh invalidates
+        every cached trace, so a recipe change always retraces under the new
+        profiles."""
+        from blobctrl_tpu.parallel import kernel_sharding
+        import functools
+
+        @functools.wraps(fn)
+        def traced(*args, **kwargs):
+            with kernel_sharding.activate(
+                    getattr(self, "_kernel_profiles", None)):
+                return fn(*args, **kwargs)
+        return traced
 
     def _conv_params(self, name: str):
         """Param tree for ``name``, augmented with pre-quantized int8
@@ -778,6 +817,7 @@ class BlobNetPipeline:
             return state[0]
 
         @jax.jit  # no donation: caller-supplied latents must stay valid
+        @self._with_kernel_profiles
         def edit(unet_params, blobnet_params, vae_params, fg_img, bg_img,
                  lat2_in, use_lat2, gs, pooled, prompt_embeds, latents,
                  cond_scales, guidance_scale, key_mask, cfg_mask, noise_key):
