@@ -229,8 +229,14 @@ def attention(params, x: Array, heads: int, context: Optional[Array] = None,
     # strided layout starves the MXU); the (h,d)-contraction einsum is the
     # same math (fp32 accumulation either way) without the strided operand.
     b, h, sq, d = out_h.shape
+    prof = kernel_sharding.current()
     if layers.linear_int8_enabled() and "kernel_q" in params["to_out"]:
         xq, xs = layers.quantize_act_i8(out_h)
+        if prof is not None:
+            return kernel_sharding.shard_attn_out_proj(
+                xq, params["to_out"]["kernel_q"],
+                params["to_out"].get("bias"), prof, x_scale=xs,
+                w_scale=params["to_out"]["w_scale"], out_dtype=out_h.dtype)
         w_o = params["to_out"]["kernel_q"].reshape(h, d, h * d)
         y = jnp.einsum("bhsd,hdc->bsc", xq, w_o,
                        preferred_element_type=jnp.int32)
@@ -239,6 +245,14 @@ def attention(params, x: Array, heads: int, context: Optional[Array] = None,
         if "bias" in params["to_out"]:
             y = y + params["to_out"]["bias"].astype(jnp.float32)
         return y.astype(out_h.dtype)
+    if prof is not None:
+        # sharded: consume the row-parallel (C, C) kernel at its native
+        # P(model, None) placement; the (h, d, c) reshape happens on the
+        # local shard inside the shard_map (reshaping the sharded kernel
+        # out here forces an involuntary-remat transition in GSPMD)
+        return kernel_sharding.shard_attn_out_proj(
+            out_h, params["to_out"]["kernel"], params["to_out"].get("bias"),
+            prof)
     w_o = params["to_out"]["kernel"].astype(out_h.dtype).reshape(h, d, h * d)
     y = jnp.einsum("bhsd,hdc->bsc", out_h, w_o,
                    preferred_element_type=jnp.float32).astype(out_h.dtype)

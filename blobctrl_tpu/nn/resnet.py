@@ -63,6 +63,16 @@ def _route_conv(x: Array, role: str = "column"):
     return c_local >= 32 and jax.default_backend() == "tpu", False
 
 
+def _pallas_conv_fn(interpret: bool):
+    from blobctrl_tpu.ops import conv3x3 as conv3x3_op
+
+    def conv_fn(x, kernel, bias, scale, shift, kernel_q, w_scale):
+        return conv3x3_op.conv3x3(x, kernel, bias, scale=scale, shift=shift,
+                                  interpret=interpret, kernel_q=kernel_q,
+                                  w_scale=w_scale)
+    return conv_fn
+
+
 def _conv3x3_maybe_fused(conv_params, x: Array, scale=None, shift=None,
                          interpret: bool = False,
                          role: str = "column") -> Array:
@@ -74,15 +84,9 @@ def _conv3x3_maybe_fused(conv_params, x: Array, scale=None, shift=None,
         # Pallas under SPMD: GSPMD cannot partition Mosaic kernels, so the
         # call is wrapped in a shard_map matching the weight's Megatron role
         # (parallel.kernel_sharding module docstring)
-        def conv_fn(x, kernel, bias, scale, shift, kernel_q, w_scale):
-            return conv3x3_op.conv3x3(x, kernel, bias, scale=scale,
-                                      shift=shift, interpret=interpret,
-                                      kernel_q=kernel_q, w_scale=w_scale)
-
+        assert scale is None and shift is None  # GN folds inside shard_map
         return kernel_sharding.shard_conv3x3(
-            conv_fn, role, x, conv_params["kernel"], conv_params.get("bias"),
-            scale, shift, conv_params.get("kernel_q"),
-            conv_params.get("w_scale"), prof)
+            _pallas_conv_fn(interpret), role, x, conv_params, prof)
     return conv3x3_op.conv3x3(x, conv_params["kernel"],
                               conv_params.get("bias"),
                               scale=scale, shift=shift, interpret=interpret,
@@ -121,6 +125,14 @@ def resnet_block(params, x: Array, temb: Optional[Array] = None,
     def norm_act_conv(conv_params, norm_params, y, role):
         use_pallas, interpret = _route_conv(y, role)
         if use_pallas:
+            prof = kernel_sharding.current()
+            if prof is not None:
+                # sharded: the GN fold happens INSIDE the shard_map body —
+                # group stats are shard-local and the fold never crosses the
+                # manual boundary (see kernel_sharding.shard_conv3x3)
+                return kernel_sharding.shard_conv3x3(
+                    _pallas_conv_fn(interpret), role, y, conv_params, prof,
+                    norm=norm_params, norm_groups=norm_groups, eps=eps)
             # GroupNorm folded to per-(B,C) affine; normalize+SiLU fuse into
             # the Pallas conv prologue instead of an extra HBM round-trip
             s, sh = layers.group_norm_scale_shift(norm_params, y, norm_groups,

@@ -179,50 +179,127 @@ def shard_flash_attention(flash_fn, q: Array, k: Array, v: Array,
     return fn(q, k, v)
 
 
-def shard_conv3x3(conv_fn, role: str, x: Array, kernel: Array,
-                  bias: Optional[Array], scale: Optional[Array],
-                  shift: Optional[Array], kernel_q: Optional[Array],
-                  w_scale: Optional[Array], prof: KernelProfile) -> Array:
+def shard_attn_out_proj(out_h: Array, kernel: Array, bias: Optional[Array],
+                        prof: KernelProfile,
+                        x_scale: Optional[Array] = None,
+                        w_scale: Optional[Array] = None,
+                        out_dtype=None) -> Array:
+    """Row-parallel attention output projection under SPMD: the
+    (head, d)-contraction einsum ``bhsd,hdc->bsc`` with out_h head-sharded
+    and the to_out kernel consumed in its NATIVE row-parallel (C, C)
+    P(model, None) layout — the (heads, d, c) reshape happens inside the
+    shard_map body on the local shard. Reshaping the sharded kernel outside
+    splits the row sharding across the new (heads, d) dims, a transition
+    GSPMD can only do by involuntary full rematerialization (observed on
+    the virtual mesh, one per attention layer); here the boundary consumes
+    the kernel exactly as shard_params placed it, and ONE psum combines the
+    head partial sums — the same all-reduce the un-folded row-parallel
+    matmul would cost.
+
+    x_scale/w_scale: the int8 fold's dequant scales (out_h is then the
+    pre-quantized int8 tensor and ``out_dtype`` names the result dtype)."""
+    b, heads, sq, d = out_h.shape
+    batch, model = _resolve(prof, b, heads)
+    be, me = _entry(batch), _entry(model)
+    in_specs = (P(be, me, None, None), P(me, None), P(), P(), P())
+    out_spec = P(be, None, None)
+
+    def body(out_h, kernel, bias, x_scale, w_scale):
+        h_local = out_h.shape[1]
+        if x_scale is not None:
+            w_o = kernel.reshape(h_local, d, heads * d)
+            y = jnp.einsum("bhsd,hdc->bsc", out_h, w_o,
+                           preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (w_scale.astype(jnp.float32)
+                                         * x_scale)
+        else:
+            w_o = kernel.astype(out_h.dtype).reshape(h_local, d, heads * d)
+            y = jnp.einsum("bhsd,hdc->bsc", out_h, w_o,
+                           preferred_element_type=jnp.float32
+                           ).astype(out_h.dtype)
+        if model:
+            y = jax.lax.psum(y, model if len(model) > 1 else model[0])
+        if bias is not None:
+            y = y.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(out_dtype if out_dtype is not None else out_h.dtype)
+
+    fn = jax.shard_map(body, mesh=prof.mesh, in_specs=in_specs,
+                       out_specs=out_spec, check_vma=False)
+    return fn(out_h, kernel, bias, x_scale, w_scale)
+
+
+def shard_conv3x3(conv_fn, role: str, x: Array, conv_params,
+                  prof: KernelProfile, norm=None,
+                  norm_groups: Optional[int] = None,
+                  eps: float = 1e-5) -> Array:
     """Wrap a conv3x3 call in shard_map under the Megatron role its weight
     was sharded with ('column': out channels sharded; 'row': in channels
     sharded + psum). conv_fn(x, kernel, bias, scale, shift, kernel_q,
-    w_scale) computes the fused GroupNorm+SiLU+conv locally."""
+    w_scale) computes the fused GroupNorm+SiLU+conv locally.
+
+    norm: optional GroupNorm params — the fold to per-(B, C) scale/shift
+    happens INSIDE the shard_map body. Two reasons: (a) per-group statistics
+    are shard-local whenever the groups divide the model axes (contiguous
+    channel blocks never straddle shards), so the stats never hit the wire;
+    (b) folding outside produced a GSPMD pathology — the tiny
+    (B, 1, g, c/g) broadcast chain feeding a channel-sharded shard_map
+    operand triggers 'Involuntary full rematerialization' per conv
+    (observed on the virtual mesh; tests/test_kernel_sharding.py pipeline
+    tests gate it)."""
     assert role in ("column", "row"), role
+    kernel = conv_params["kernel"]
+    bias = conv_params.get("bias")
+    kernel_q = conv_params.get("kernel_q")
+    w_scale = conv_params.get("w_scale")
     cdim = kernel.shape[3] if role == "column" else kernel.shape[2]
     batch, model = _resolve(prof, x.shape[0], cdim)
+    msz = axes_size(prof.mesh, model) if model else 1
+    if role == "row" and norm is not None and msz > 1 \
+            and norm_groups % msz != 0:
+        # a GN group would straddle shards — stats could not stay local;
+        # replicate instead (weights at such widths are replicated too)
+        model, msz = (), 1
     be, me = _entry(batch), _entry(model)
+    n_scale = norm["scale"] if norm is not None else None
+    n_bias = norm["bias"] if norm is not None else None
 
     if role == "column":
         in_specs = (P(be, None, None, None),        # x: full channels
                     P(None, None, None, me),        # kernel: out-ch sharded
                     P(me),                          # bias
-                    P(be, None), P(be, None),       # scale/shift: (B, C_in)
+                    P(), P(),                       # GN scale/bias: (C_in,)
                     P(None, None, None, me),        # kernel_q
                     P(me))                          # w_scale: per-out-ch
         out_spec = P(be, None, None, me)
-
-        def body(x, kernel, bias, scale, shift, kernel_q, w_scale):
-            return conv_fn(x, kernel, bias, scale, shift, kernel_q, w_scale)
+        groups_local = norm_groups
     else:
         in_specs = (P(be, None, None, me),          # x: in-ch sharded
                     P(None, None, me, None),        # kernel: in-ch sharded
                     P(),                            # bias: added post-psum
-                    P(be, me), P(be, me),           # scale/shift: (B, C_in)
+                    P(me), P(me),                   # GN scale/bias: (C_in,)
                     P(None, None, me, None),        # kernel_q
                     P())                            # w_scale: per-out-ch
         out_spec = P(be, None, None, None)
+        groups_local = norm_groups // msz if norm is not None else None
 
-        def body(x, kernel, bias, scale, shift, kernel_q, w_scale):
-            y = conv_fn(x, kernel, None, scale, shift, kernel_q, w_scale)
-            if model:
-                # the row-parallel combine — the same all-reduce GSPMD
-                # inserts for the sharded XLA conv, at the same dtype
-                y = jax.lax.psum(y, model if len(model) > 1 else model[0])
-            if bias is not None:
-                y = (y.astype(jnp.float32)
-                     + bias.astype(jnp.float32)).astype(y.dtype)
-            return y
+    def body(x, kernel, bias, n_scale, n_bias, kernel_q, w_scale):
+        from blobctrl_tpu.nn import layers
+        scale = shift = None
+        if n_scale is not None:
+            scale, shift = layers.group_norm_scale_shift(
+                {"scale": n_scale, "bias": n_bias}, x, groups_local, eps)
+        if role == "column":
+            return conv_fn(x, kernel, bias, scale, shift, kernel_q, w_scale)
+        y = conv_fn(x, kernel, None, scale, shift, kernel_q, w_scale)
+        if model:
+            # the row-parallel combine — the same all-reduce GSPMD
+            # inserts for the sharded XLA conv, at the same dtype
+            y = jax.lax.psum(y, model if len(model) > 1 else model[0])
+        if bias is not None:
+            y = (y.astype(jnp.float32)
+                 + bias.astype(jnp.float32)).astype(y.dtype)
+        return y
 
     fn = jax.shard_map(body, mesh=prof.mesh, in_specs=in_specs,
                        out_specs=out_spec, check_vma=False)
-    return fn(x, kernel, bias, scale, shift, kernel_q, w_scale)
+    return fn(x, kernel, bias, n_scale, n_bias, kernel_q, w_scale)

@@ -161,3 +161,72 @@ def test_scope_selects_profile():
             assert ks.current() is None
     with ks.scope("unet"):
         assert ks.current() is None            # no active profile map
+
+
+@pytest.fixture
+def no_compile_cache():
+    """Partitioner warnings only print during a FRESH compile — a
+    persistent-cache hit silently skips them, so the pathology assertions
+    below must compile from scratch."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("recipe", ["tp", "hybrid"])
+def test_pipeline_sharded_pallas_matches_unsharded(interpret_convs,
+                                                   interpret_attention,
+                                                   no_compile_cache,
+                                                   recipe, capfd):
+    """The FULL tiny pipeline with the Pallas kernels forced on (interpret
+    mode) under the sharded recipes: equality with the unsharded pipeline
+    AND no involuntary rematerialization. This is the CPU stand-in for what
+    a real multi-chip slice runs — the XLA-kernel variants of this test
+    (test_checkpoint_and_mesh.py) cannot see shard_map boundary pathologies
+    because Pallas never engages on the CPU backend's 'auto' routing."""
+    from blobctrl_tpu.apps import flagship
+    from blobctrl_tpu.models import blobnet as blobnet_lib
+    from blobctrl_tpu.models import unet as unet_lib
+    from blobctrl_tpu.models import vae as vae_lib
+    from blobctrl_tpu.pipeline import BlobNetPipeline
+
+    key = jax.random.PRNGKey(0)
+    unet_cfg, blobnet_cfg = flagship.tiny_configs(dino_c=16, ctx=16)
+    vae_cfg = vae_lib.VAEConfig(block_out_channels=(8, 16, 16, 16),
+                                layers_per_block=1, norm_num_groups=4)
+    kwargs = dict(
+        unet_cfg=unet_cfg, unet_params=unet_lib.init_unet(key, unet_cfg),
+        blobnet_cfg=blobnet_cfg,
+        blobnet_params=blobnet_lib.init_blobnet(key, blobnet_cfg),
+        vae_cfg=vae_cfg, vae_params=vae_lib.init_vae(key, vae_cfg))
+
+    rng = np.random.RandomState(11)
+    H = W = 64
+    call_kwargs = dict(
+        fg_image=rng.randint(0, 255, (H, W, 3)).astype(np.uint8),
+        bg_image=rng.randint(0, 255, (H, W, 3)).astype(np.uint8),
+        gs_score=np.stack([np.ones((1, 8, 8)),
+                           rng.rand(1, 8, 8)], -1).astype(np.float32),
+        height=H, width=W, num_inference_steps=2, guidance_scale=7.5,
+        latents=rng.randn(1, 8, 8, 4).astype(np.float32),
+        prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+        negative_prompt_embeds=rng.randn(1, 7, 16).astype(np.float32),
+        fg_dino_feats=rng.randn(1, 16).astype(np.float32))
+
+    ref = BlobNetPipeline(**kwargs)(**call_kwargs).images
+
+    if recipe == "tp":
+        mesh = mesh_lib.make_mesh(data=1, model=4)
+        pipe = BlobNetPipeline(mesh=mesh, **kwargs).shard_to_mesh(
+            model_parallel=True)
+    else:
+        mesh = mesh_lib.make_mesh(data=2, model=2)
+        pipe = BlobNetPipeline(mesh=mesh, **kwargs).shard_to_mesh(
+            hybrid_cfg_data=True)
+    capfd.readouterr()
+    with mesh:
+        got = pipe(**call_kwargs).images
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-3000:]
+    np.testing.assert_allclose(got, ref, atol=1.01 / 255.0)
