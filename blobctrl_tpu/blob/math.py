@@ -218,6 +218,25 @@ def blob_score_from_ellipse(ellipse, width: int, height: int,
     return splat_scores(xs, ys, covs, sizes, score_hw)
 
 
+def blob_scores_from_ellipses(ellipses, width: int, height: int,
+                              score_hw: Tuple[int, int]) -> Array:
+    """cv2-style pixel ellipses -> (1, h, w, M+1) [bg, fg_1..fg_M]
+    composited score map — the multi-blob `gs_score` input of the pipeline
+    (reference multi-blob composition, utils.py:162-194)."""
+    means, covs = [], []
+    for e in ellipses:
+        mean, cov = gaussian_from_ellipse(e)
+        nmean, ncov = normalize_gaussian(mean, cov, width, height)
+        means.append(nmean)
+        covs.append(ncov)
+    m = len(means)
+    xs = jnp.asarray([[mu[0] for mu in means]], jnp.float32)
+    ys = jnp.asarray([[mu[1] for mu in means]], jnp.float32)
+    cv = jnp.asarray(covs, jnp.float32)[None]
+    sizes = jnp.ones((1, m), jnp.float32)
+    return splat_scores(xs, ys, cv, sizes, score_hw)
+
+
 def removal_score(score_hw: Tuple[int, int]) -> Array:
     """Score map for remove mode: bg forced to 1, fg to 0
     (blobctrl_inference.py:184-185)."""

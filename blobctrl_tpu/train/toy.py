@@ -50,23 +50,32 @@ COLORS: Tuple[Tuple[str, Tuple[int, int, int]], ...] = (
 )
 
 
-def toy_configs(ctx: int = 16, dino_c: int = 16):
-    """Tiny-but-trainable geometry: 2-level UNet/BlobNet at 128^2 images
-    (16^2 latents), 4-level VAE. Same structure as production, ~0.9M params
-    total."""
+def toy_configs(ctx: int = 16, dino_c: int = 16, size: int = 128):
+    """Tiny-but-trainable geometry, scaled by image size. size=128 (the r3
+    gate): 2-level UNet/BlobNet at 16^2 latents, ~0.9M params. size>=256
+    (VERDICT r4 Next #4): 3-level nets at 32^2 latents — one more level of
+    the production topology (attention at the top two levels, conv-only
+    bottom, like SD-1.5's attention-free innermost block). 4-level f8 VAE
+    either way."""
     from blobctrl_tpu.models import blobnet as blobnet_lib
     from blobctrl_tpu.models import unet as unet_lib
     from blobctrl_tpu.models import vae as vae_lib
 
+    if size >= 256:
+        blocks = (32, 64, 96)
+        down_attn, up_attn = (True, True, False), (False, True, True)
+    else:
+        blocks = (32, 64)
+        down_attn, up_attn = (True, False), (False, True)
     unet_cfg = unet_lib.UNetConfig(
-        in_channels=5, out_channels=4, block_out_channels=(32, 64),
-        down_block_has_attn=(True, False), up_block_has_attn=(False, True),
+        in_channels=5, out_channels=4, block_out_channels=blocks,
+        down_block_has_attn=down_attn, up_block_has_attn=up_attn,
         layers_per_block=2, cross_attention_dim=ctx, num_heads=2,
         norm_num_groups=8)
     blobnet_cfg = blobnet_lib.BlobNetConfig(
         in_channels=4, conditioning_channels=1 + dino_c,
-        block_out_channels=(32, 64), down_block_has_attn=(True, False),
-        up_block_has_attn=(False, True), layers_per_block=2,
+        block_out_channels=blocks, down_block_has_attn=down_attn,
+        up_block_has_attn=up_attn, layers_per_block=2,
         cross_attention_dim=None, num_heads=2, norm_num_groups=8)
     vae_cfg = vae_lib.VAEConfig(
         block_out_channels=(16, 32, 32, 32), layers_per_block=1,
@@ -111,33 +120,56 @@ def _random_ellipse(rng: np.random.RandomState, size: int,
 
 
 def make_scene(rng: np.random.RandomState, size: int = 128,
-               with_object: bool = True):
+               with_object: bool = True, n_objects: int = 1):
     """One synthetic scene. Returns dict with image/mask uint8, cls,
-    ellipse (cv2 convention), distractor ellipse or None."""
+    ellipse (cv2 convention) for the FIRST object (back-compat), plus
+    "objects": a list of {cls, ellipse, mask} for every object placed
+    (multi-blob scenes, VERDICT r4 Next #4). Objects get distinct classes
+    and non-overlapping ellipses."""
     img = _gradient_background(rng, size)
-    cls, ellipse, mask = -1, None, np.zeros((size, size), np.uint8)
+    objects: List[Dict] = []
     if with_object:
-        cls = int(rng.randint(len(COLORS)))
-        ellipse = _random_ellipse(rng, size)
-        mask = viz_lib.ellipse_mask(ellipse, size, size)
-        color = np.asarray(COLORS[cls][1], np.float32)
-        a = (mask.astype(np.float32) / 255.0)[..., None]
-        img = (1 - a) * img + a * color
+        classes = rng.permutation(len(COLORS))[:max(1, n_objects)]
+        # multi-object scenes draw smaller ellipses so two always fit
+        lo, hi = (0.24, 0.46) if n_objects <= 1 else (0.14, 0.26)
+        for cls in classes:
+            ell = None
+            for _ in range(40):  # place clear of every earlier object
+                cand = _random_ellipse(rng, size, lo=lo, hi=hi)
+                if all(_ellipses_clear(o["ellipse"], cand)
+                       for o in objects):
+                    ell = cand
+                    break
+            if ell is None:
+                continue  # no non-overlapping spot found; fewer objects
+            mask = viz_lib.ellipse_mask(ell, size, size)
+            color = np.asarray(COLORS[int(cls)][1], np.float32)
+            a = (mask.astype(np.float32) / 255.0)[..., None]
+            img = (1 - a) * img + a * color
+            objects.append({"cls": int(cls), "ellipse": ell, "mask": mask})
+    first = objects[0] if objects else {
+        "cls": -1, "ellipse": None, "mask": np.zeros((size, size), np.uint8)}
     return {"image": np.clip(img, 0, 255).astype(np.uint8),
-            "mask": mask, "cls": cls, "ellipse": ellipse}
+            "mask": first["mask"], "cls": first["cls"],
+            "ellipse": first["ellipse"], "objects": objects}
+
+
+def _ellipses_clear(a, b) -> bool:
+    """Conservative non-overlap check (bounding-circle distance)."""
+    (x0, y0), (da, db), _ = a
+    (x1, y1), (dc, dd), _ = b
+    return np.hypot(x0 - x1, y0 - y1) > (max(da, db) + max(dc, dd)) / 2.0 + 2.0
 
 
 def _distractor_ellipse(rng: np.random.RandomState, size: int,
                         avoid) -> Optional[tuple]:
-    """A white-out region that does not overlap the object ellipse."""
+    """A white-out region that does not overlap the object ellipse(s).
+    avoid: one ellipse, a list of ellipses, or None."""
+    avoid_list = ([] if avoid is None
+                  else avoid if isinstance(avoid, list) else [avoid])
     for _ in range(20):
         cand = _random_ellipse(rng, size, lo=0.18, hi=0.38)
-        if avoid is None:
-            return cand
-        (x0, y0), (da, db), _ = avoid
-        (x1, y1), (dc, dd), _ = cand
-        dist = np.hypot(x0 - x1, y0 - y1)
-        if dist > (max(da, db) + max(dc, dd)) / 2.0 + 2.0:
+        if all(_ellipses_clear(a, cand) for a in avoid_list if a is not None):
             return cand
     return None
 
@@ -148,10 +180,17 @@ def _distractor_ellipse(rng: np.random.RandomState, size: int,
 
 def build_dataset(n: int, size: int = 128, seed: int = 0,
                   p_no_object: float = 0.1, p_distractor: float = 0.6,
-                  p_text_drop: float = 0.1,
+                  p_text_drop: float = 0.1, p_two_objects: float = 0.0,
                   ctx: int = 16, dino_c: int = 16) -> Dict[str, np.ndarray]:
     """Host-side arrays for `n` examples (images in uint8; latents are encoded
-    later in one batched pass — see encode_dataset)."""
+    later in one batched pass — see encode_dataset).
+
+    p_two_objects: fraction of scenes carrying TWO objects (distinct class,
+    non-overlapping) — multi-blob composition training (VERDICT r4 Next #4):
+    the summed score layers and per-layer appearance splat are exactly what
+    the pipeline's multi-blob path feeds the BlobNet at inference. The text
+    embedding names only the first object, so the second is carried purely
+    by its appearance splat (the compose-UI situation)."""
     from blobctrl_tpu.blob import editor as editor_lib
 
     emb = class_embeddings(ctx=ctx, dino_c=dino_c)
@@ -161,25 +200,41 @@ def build_dataset(n: int, size: int = 128, seed: int = 0,
                            "bg_score", "text_embeds", "appearance")}
     for _ in range(n):
         with_object = rng.rand() >= p_no_object
-        sc = make_scene(rng, size, with_object)
+        n_obj = 2 if with_object and rng.rand() < p_two_objects else 1
+        sc = make_scene(rng, size, with_object, n_objects=n_obj)
         img = sc["image"]
-        if with_object:
-            fg_img = editor_lib.object_region_on_canvas(img, sc["mask"],
-                                                        canvas=size)
-            gs = np.asarray(blob_math.blob_score_from_ellipse(
-                sc["ellipse"], size, size, (lh, lw)), np.float32)
-            bg = viz_lib.composite_mask_and_image(sc["mask"], img, (0, 0, 0))
-            appearance = emb["appearance"][sc["cls"]]
-            text = emb["text"][sc["cls"]]
+        if sc["objects"]:
+            objs = sc["objects"]
+            fg_img = np.full((size, size, 3), 255, np.uint8)
+            bg = img
+            for o in objs:
+                cut = editor_lib.object_region_on_canvas(img, o["mask"],
+                                                         canvas=size)
+                keep = o["mask"][..., None] > 127
+                fg_img = np.where(keep, cut, fg_img)
+                bg = viz_lib.composite_mask_and_image(o["mask"], bg,
+                                                      (0, 0, 0))
+            gs = np.asarray(blob_math.blob_scores_from_ellipses(
+                [o["ellipse"] for o in objs], size, size, (lh, lw)),
+                np.float32)
+            # feature splat: sum of per-layer score x per-class appearance —
+            # identical to the pipeline's einsum over (layer, appearance)
+            app = np.stack([emb["appearance"][o["cls"]] for o in objs])
+            fg_score = gs[0, ..., 1:].sum(-1, keepdims=True)
+            fg_feats = np.einsum("hwm,mc->hwc", gs[0, ..., 1:], app)
+            avoid = [o["ellipse"] for o in objs]
+            text = emb["text"][objs[0]["cls"]]
         else:
             fg_img = np.full((size, size, 3), 255, np.uint8)
             gs = np.stack([np.ones((1, lh, lw)), np.zeros((1, lh, lw))],
                           -1).astype(np.float32)
             bg = img
-            appearance = np.zeros((dino_c,), np.float32)
+            fg_score = gs[0, ..., 1:2]
+            fg_feats = np.zeros((lh, lw, dino_c), np.float32)
+            avoid = []
             text = np.zeros_like(emb["text"][0])
         if rng.rand() < p_distractor:
-            d = _distractor_ellipse(rng, size, sc["ellipse"])
+            d = _distractor_ellipse(rng, size, avoid or None)
             if d is not None:
                 dmask = viz_lib.ellipse_mask(d, size, size)
                 bg = viz_lib.composite_mask_and_image(dmask, bg,
@@ -189,10 +244,10 @@ def build_dataset(n: int, size: int = 128, seed: int = 0,
         out["image"].append(img)
         out["fg_image"].append(fg_img)
         out["bg_image"].append(bg)
-        out["fg_score"].append(gs[0, ..., 1:2])
+        out["fg_score"].append(fg_score)
         out["bg_score"].append(gs[0, ..., 0:1])
         out["text_embeds"].append(text)
-        out["appearance"].append(appearance)
+        out["appearance"].append(fg_feats)
     return {k: np.stack(v) for k, v in out.items()}
 
 
@@ -216,13 +271,18 @@ def encode_dataset(vae_params, vae_cfg, data: Dict[str, np.ndarray],
         return np.concatenate(outs)
 
     fg_score = data["fg_score"].astype(np.float32)
+    app = data["appearance"].astype(np.float32)
+    # "appearance": (N, h, w, C) pre-splat per-pixel features (multi-blob
+    # datasets), or (N, C) per-example class vectors (the r3 layout, still
+    # accepted for cached datasets) — splat against the summed score then
+    fg_feats = app if app.ndim == 4 else fg_score * app[:, None, None, :]
     return {
         "x0_latents": encode_all(data["image"]),
         "fg_latents": encode_all(data["fg_image"]),
         "bg_latents": encode_all(data["bg_image"]),
         "fg_score": fg_score,
         "bg_score": data["bg_score"].astype(np.float32),
-        "fg_feats": fg_score * data["appearance"][:, None, None, :],
+        "fg_feats": fg_feats,
         "text_embeds": data["text_embeds"].astype(np.float32),
     }
 
@@ -421,7 +481,8 @@ def load_toy(ckpt_dir: str):
         prefix, rest = k.split(".", 1)
         trees[prefix][rest] = np.asarray(v, np.float32)
     unet_cfg, blobnet_cfg, vae_cfg = toy_configs(ctx=meta["ctx"],
-                                                 dino_c=meta["dino_c"])
+                                                 dino_c=meta["dino_c"],
+                                                 size=meta.get("size", 128))
     vae_cfg = dataclasses.replace(vae_cfg,
                                   scaling_factor=meta["vae_scaling_factor"])
     pipe = BlobNetPipeline(
@@ -456,6 +517,42 @@ def edit_kwargs(scene: Dict, target_ellipse, size: int = 128,
         prompt_embeds=emb["text"][cls][None],
         negative_prompt_embeds=np.zeros_like(emb["text"][cls])[None],
         fg_dino_feats=emb["appearance"][cls][None])
+
+
+def compose_kwargs(scene: Dict, target_ellipse, size: int = 128,
+                   steps: int = 50, guidance: float = 4.0, seed: int = 3,
+                   ctx: int = 16, dino_c: int = 16) -> Dict:
+    """Pipeline kwargs for a 2-blob COMPOSE edit on a 2-object scene from
+    make_scene(n_objects=2): move the first object to target_ellipse while
+    the second stays in place — exercises the multi-blob path (summed score
+    layers + per-blob appearance splat) end-to-end on trained weights."""
+    from blobctrl_tpu.blob import editor as editor_lib
+    emb = class_embeddings(ctx=ctx, dino_c=dino_c)
+    objs = scene["objects"]
+    assert len(objs) >= 2, "compose_kwargs needs a 2-object scene"
+    o0, o1 = objs[0], objs[1]
+    img = scene["image"]
+    fg_img = np.full((size, size, 3), 255, np.uint8)
+    for o in (o0, o1):
+        cut = editor_lib.object_region_on_canvas(img, o["mask"], canvas=size)
+        fg_img = np.where(o["mask"][..., None] > 127, cut, fg_img)
+    # session conventions: white = erase (o0's vacated source), black =
+    # generate (o0's target + o1's kept-in-place region)
+    bg = viz_lib.composite_mask_and_image(o0["mask"], img, (255, 255, 255))
+    tmask = viz_lib.ellipse_mask(target_ellipse, size, size)
+    bg = viz_lib.composite_mask_and_image(tmask, bg, (0, 0, 0))
+    bg = viz_lib.composite_mask_and_image(o1["mask"], bg, (0, 0, 0))
+    lh = lw = size // 8
+    gs = np.asarray(blob_math.blob_scores_from_ellipses(
+        [target_ellipse, o1["ellipse"]], size, size, (lh, lw)), np.float32)
+    feats = np.stack([emb["appearance"][o0["cls"]],
+                      emb["appearance"][o1["cls"]]])
+    return dict(
+        fg_image=fg_img, bg_image=bg, gs_score=gs, height=size, width=size,
+        num_inference_steps=steps, guidance_scale=guidance, seed=seed,
+        prompt_embeds=emb["text"][o0["cls"]][None],
+        negative_prompt_embeds=np.zeros_like(emb["text"][o0["cls"]])[None],
+        fg_dino_feats=feats)
 
 
 def remove_kwargs(scene: Dict, size: int = 128, steps: int = 50,

@@ -23,23 +23,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="assets/toy_ckpt")
     ap.add_argument("--n_train", type=int, default=4096)
-    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--size", type=int, default=128,
+                    help=">=256 trains the 3-level geometry "
+                         "(toy.toy_configs)")
     ap.add_argument("--vae_steps", type=int, default=1500)
     ap.add_argument("--diff_steps", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--p_two_objects", type=float, default=0.0,
+                    help="fraction of 2-object (multi-blob) scenes")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval_dir", default="/tmp/toy_eval")
     args = ap.parse_args()
 
     t0 = time.time()
-    unet_cfg, blobnet_cfg, vae_cfg = toy.toy_configs()
-    cache = f"/tmp/toy_data_{args.n_train}_{args.size}_{args.seed}.npz"
+    unet_cfg, blobnet_cfg, vae_cfg = toy.toy_configs(size=args.size)
+    cache = (f"/tmp/toy_data_{args.n_train}_{args.size}_{args.seed}"
+             f"_{args.p_two_objects}.npz")
     if os.path.exists(cache):
         print(f"loading dataset cache {cache}...", flush=True)
         data = dict(np.load(cache))
     else:
         print("building dataset...", flush=True)
-        data = toy.build_dataset(args.n_train, size=args.size, seed=args.seed)
+        data = toy.build_dataset(args.n_train, size=args.size, seed=args.seed,
+                                 p_two_objects=args.p_two_objects)
         np.savez(cache, **data)
 
     print("training VAE...", flush=True)
@@ -62,7 +68,7 @@ def main():
             "vae_recon_mse": vae_mse, "final_loss": diff_loss,
             "n_train": args.n_train, "vae_steps": args.vae_steps,
             "diff_steps": args.diff_steps, "batch": args.batch,
-            "seed": args.seed}
+            "p_two_objects": args.p_two_objects, "seed": args.seed}
     toy.save_toy(args.out, unet_params, blobnet_params, vae_params, meta)
     print(f"saved {args.out} in {time.time() - t0:.0f}s", flush=True)
 

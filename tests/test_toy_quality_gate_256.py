@@ -1,0 +1,147 @@
+"""256² trained-model gates (VERDICT r4 Next #4 — scale the quality gate).
+
+Same idea as tests/test_toy_quality_gate.py but at the 3-level 256² geometry
+(toy.toy_configs(size=256)) trained with multi-blob scenes
+(scripts/train_toy.py --size 256 --p_two_objects 0.3), and with a wider gate
+surface: move + remove + 2-blob COMPOSE edits, every CPU-testable lossy mode
+(encoder cache, guidance-interval CFG, the stacked combo), the stochastic
+SDE scheduler, and the serving preview projection. int8 modes need the
+Mosaic kernels — their 256² drift is measured on TPU by
+scripts/toy_quality_gate.py --size 256.
+
+Skips (not fails) when the 256² checkpoint has not been trained yet —
+training happens on the TPU (scripts/train_toy.py) and commits
+assets/toy_ckpt_256.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from blobctrl_tpu.train import toy
+
+CKPT = os.path.join(os.path.dirname(__file__), "..", "assets", "toy_ckpt_256")
+
+if not os.path.isdir(CKPT):  # pragma: no cover
+    pytest.skip("assets/toy_ckpt_256 not trained yet "
+                "(scripts/train_toy.py --size 256)", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    pipe, meta = toy.load_toy(CKPT)
+    size = meta["size"]
+    assert size == 256, meta
+    rng = np.random.RandomState(10_000)  # held out: training used seed 0
+    scene = toy.make_scene(rng, size)
+    target = toy._random_ellipse(rng, size)
+    kw = toy.edit_kwargs(scene, target, size=size, steps=20)
+    exact = pipe(**kw).images[0]
+    return pipe, size, scene, target, kw, exact
+
+
+def test_trained_blob_control_256(setup):
+    """Move edit at 256²: right color at the target blob with class
+    discrimination; source region inpainted."""
+    _, size, scene, target, _, exact = setup
+    err = toy.color_error_inside(exact, target, scene["cls"], size)
+    assert err < 0.06, err
+    wrong = min(toy.color_error_inside(exact, target, c, size)
+                for c in range(len(toy.COLORS)) if c != scene["cls"])
+    assert wrong > 2 * err, (err, wrong)
+    src = toy.color_error_inside(exact, scene["ellipse"], scene["cls"], size)
+    assert src > 0.1, src
+
+
+def test_trained_remove_mode_256(setup):
+    pipe, size, scene, _, _, _ = setup
+    from blobctrl_tpu.blob import viz as viz_lib
+    kw = toy.remove_kwargs(scene, size=size, steps=20)
+    out = pipe(**kw).images[0]
+    err = toy.color_error_inside(out, scene["ellipse"], scene["cls"], size)
+    assert err > 0.1, err
+    m = viz_lib.ellipse_mask(scene["ellipse"], size, size) > 127
+    gap = float(np.abs(out[m].mean(0) - out[~m].mean(0)).max())
+    assert gap < 0.08, gap
+
+
+def test_trained_compose_two_blobs(setup):
+    """2-blob compose: object 0 moves to the target while object 1 is
+    regenerated in place — both blobs must come out in their own class
+    colors (the multi-blob score/appearance-splat path on trained
+    weights)."""
+    pipe, size, _, _, _, _ = setup
+    rng = np.random.RandomState(20_000)
+    scene = toy.make_scene(rng, size, n_objects=2)
+    assert len(scene["objects"]) == 2
+    o0, o1 = scene["objects"]
+    tgt = toy._distractor_ellipse(rng, size,
+                                  [o["ellipse"] for o in scene["objects"]])
+    assert tgt is not None
+    kw = toy.compose_kwargs(scene, tgt, size=size, steps=20)
+    out = pipe(**kw).images[0]
+    err0 = toy.color_error_inside(out, tgt, o0["cls"], size)
+    err1 = toy.color_error_inside(out, o1["ellipse"], o1["cls"], size)
+    assert err0 < 0.08, err0
+    assert err1 < 0.08, err1
+    # object 0's vacated source holds no object-0 color anymore
+    src = toy.color_error_inside(out, o0["ellipse"], o0["cls"], size)
+    assert src > 0.1, src
+
+
+@pytest.mark.parametrize("mode_kwargs", [
+    dict(encoder_cache_interval=3, encoder_cache_warmup=5),
+    dict(cfg_guidance_start=0.15, cfg_guidance_end=0.75),
+    dict(encoder_cache_interval=3, encoder_cache_warmup=5,
+         cfg_guidance_start=0.15, cfg_guidance_end=0.75),
+], ids=["encoder_cache", "cfg_interval", "stacked"])
+def test_lossy_mode_drift_trained_256(setup, mode_kwargs):
+    """Every CPU-testable lossy mode (plus the stacked combo) stays close
+    to the exact path AND still lands the edit."""
+    pipe, size, scene, target, kw, exact = setup
+    out = pipe(**mode_kwargs, **kw).images[0]
+    assert toy.psnr(exact, out) > 27.0, toy.psnr(exact, out)
+    err = toy.color_error_inside(out, target, scene["cls"], size)
+    assert err < 0.06, err
+
+
+def test_sde_scheduler_trained_256(setup):
+    """DPM++ SDE (stochastic) on trained weights: a different sampler, so no
+    pixel-PSNR gate — the edit itself must still land (right color at the
+    blob, source inpainted)."""
+    pipe, size, scene, target, kw, _ = setup
+    kw = dict(kw, scheduler="dpm_sde")
+    out = pipe(**kw).images[0]
+    err = toy.color_error_inside(out, target, scene["cls"], size)
+    assert err < 0.08, err
+    src = toy.color_error_inside(out, scene["ellipse"], scene["cls"], size)
+    assert src > 0.1, src
+
+
+def test_preview_projection_trained_256(setup):
+    """The serving preview (latent -> approx RGB projection) of the FINAL
+    step must agree with the decoded image about where the object is —
+    gates the preview path on trained weights."""
+    pipe, size, scene, target, kw, exact = setup
+    from blobctrl_tpu.pipeline import preview as preview_lib
+    grabbed = {}
+
+    def cb(pipe_self, i, t, ck):
+        grabbed["latents"] = np.asarray(ck["latents"])
+        return {}
+
+    pipe(callback_on_step_end=cb, **kw)
+    assert "latents" in grabbed
+    rgb = preview_lib.latent_to_rgb(grabbed["latents"], upscale=8)[0]
+    # coarse agreement: the preview's target-region mean color is closer to
+    # the class color than the background's
+    from blobctrl_tpu.blob import viz as viz_lib
+    m = viz_lib.ellipse_mask(target, size, size) > 127
+    color = np.asarray(toy.COLORS[scene["cls"]][1], np.float32) / 255.0
+    rgb01 = rgb.astype(np.float32) / 255.0
+    inside = np.abs(rgb01[m].mean(0) - color).mean()
+    outside = np.abs(rgb01[~m].mean(0) - color).mean()
+    assert inside < outside, (inside, outside)
