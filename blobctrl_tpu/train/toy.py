@@ -128,10 +128,21 @@ def make_scene(rng: np.random.RandomState, size: int = 128,
     and non-overlapping ellipses."""
     img = _gradient_background(rng, size)
     objects: List[Dict] = []
-    if with_object:
-        classes = rng.permutation(len(COLORS))[:max(1, n_objects)]
+    if with_object and n_objects <= 1:
+        # single-object draw sequence kept EXACTLY as r3 (randint + one
+        # ellipse): the committed 128^2 gate thresholds were calibrated on
+        # scenes from this stream
+        cls = int(rng.randint(len(COLORS)))
+        ell = _random_ellipse(rng, size)
+        mask = viz_lib.ellipse_mask(ell, size, size)
+        color = np.asarray(COLORS[cls][1], np.float32)
+        a = (mask.astype(np.float32) / 255.0)[..., None]
+        img = (1 - a) * img + a * color
+        objects.append({"cls": cls, "ellipse": ell, "mask": mask})
+    elif with_object:
+        classes = rng.permutation(len(COLORS))[:n_objects]
         # multi-object scenes draw smaller ellipses so two always fit
-        lo, hi = (0.24, 0.46) if n_objects <= 1 else (0.14, 0.26)
+        lo, hi = 0.14, 0.26
         for cls in classes:
             ell = None
             for _ in range(40):  # place clear of every earlier object
@@ -200,18 +211,29 @@ def build_dataset(n: int, size: int = 128, seed: int = 0,
                            "bg_score", "text_embeds", "appearance")}
     for _ in range(n):
         with_object = rng.rand() >= p_no_object
-        n_obj = 2 if with_object and rng.rand() < p_two_objects else 1
+        # p_two_objects == 0 must not consume a draw: the r3 128^2 dataset
+        # stream (and its cached npz) stays bit-identical
+        n_obj = (2 if with_object and p_two_objects > 0
+                 and rng.rand() < p_two_objects else 1)
         sc = make_scene(rng, size, with_object, n_objects=n_obj)
         img = sc["image"]
         if sc["objects"]:
             objs = sc["objects"]
-            fg_img = np.full((size, size, 3), 255, np.uint8)
             bg = img
+            if len(objs) == 1:
+                # r3 convention: the single object re-centered on the canvas
+                fg_img = editor_lib.object_region_on_canvas(
+                    img, objs[0]["mask"], canvas=size)
+            else:
+                # multi-blob: object pixels pasted in place on a white
+                # canvas (a combined canvas, like the pipeline's
+                # fg_vae_image for compose edits) — position is carried by
+                # the score layers either way
+                fg_img = np.full((size, size, 3), 255, np.uint8)
+                for o in objs:
+                    keep = o["mask"][..., None] > 127
+                    fg_img = np.where(keep, img, fg_img)
             for o in objs:
-                cut = editor_lib.object_region_on_canvas(img, o["mask"],
-                                                         canvas=size)
-                keep = o["mask"][..., None] > 127
-                fg_img = np.where(keep, cut, fg_img)
                 bg = viz_lib.composite_mask_and_image(o["mask"], bg,
                                                       (0, 0, 0))
             gs = np.asarray(blob_math.blob_scores_from_ellipses(
@@ -526,16 +548,23 @@ def compose_kwargs(scene: Dict, target_ellipse, size: int = 128,
     make_scene(n_objects=2): move the first object to target_ellipse while
     the second stays in place — exercises the multi-blob path (summed score
     layers + per-blob appearance splat) end-to-end on trained weights."""
-    from blobctrl_tpu.blob import editor as editor_lib
     emb = class_embeddings(ctx=ctx, dino_c=dino_c)
     objs = scene["objects"]
     assert len(objs) >= 2, "compose_kwargs needs a 2-object scene"
     o0, o1 = objs[0], objs[1]
     img = scene["image"]
+    # combined canvas, same convention as the multi-blob training examples:
+    # each object's pixels at ITS SCORE LAYER's position (training scenes
+    # have score == object position, so the moved object pastes at the
+    # target center)
     fg_img = np.full((size, size, 3), 255, np.uint8)
-    for o in (o0, o1):
-        cut = editor_lib.object_region_on_canvas(img, o["mask"], canvas=size)
-        fg_img = np.where(o["mask"][..., None] > 127, cut, fg_img)
+    (sx, sy), _, _ = o0["ellipse"]
+    (tx, ty), _, _ = target_ellipse
+    ys, xs = np.nonzero(o0["mask"] > 127)
+    ny = np.clip(ys + int(round(ty - sy)), 0, size - 1)
+    nx = np.clip(xs + int(round(tx - sx)), 0, size - 1)
+    fg_img[ny, nx] = img[ys, xs]
+    fg_img = np.where(o1["mask"][..., None] > 127, img, fg_img)
     # session conventions: white = erase (o0's vacated source), black =
     # generate (o0's target + o1's kept-in-place region)
     bg = viz_lib.composite_mask_and_image(o0["mask"], img, (255, 255, 255))
