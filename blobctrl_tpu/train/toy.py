@@ -209,6 +209,26 @@ def build_dataset(n: int, size: int = 128, seed: int = 0,
     lh = lw = size // 8
     out = {k: [] for k in ("image", "fg_image", "bg_image", "fg_score",
                            "bg_score", "text_embeds", "appearance")}
+    # Dataset prep is host-side work: pin the per-scene splat to the CPU
+    # backend so n scenes don't become n dispatches over the (possibly
+    # tunneled) accelerator — measured minutes-per-scene through the axon
+    # tunnel vs ~1 ms/scene on host once compiled.
+    import contextlib
+    import jax
+    try:
+        _cpu = jax.local_devices(backend="cpu")[0]
+        _ctx = jax.default_device(_cpu)
+    except RuntimeError:  # no cpu backend registered (unusual)
+        _ctx = contextlib.nullcontext()
+    with _ctx:
+        return _build_dataset_scenes(n, size, rng, emb, out, lh, lw,
+                                     p_no_object, p_distractor, p_text_drop,
+                                     p_two_objects, dino_c, editor_lib)
+
+
+def _build_dataset_scenes(n, size, rng, emb, out, lh, lw, p_no_object,
+                          p_distractor, p_text_drop, p_two_objects, dino_c,
+                          editor_lib):
     for _ in range(n):
         with_object = rng.rand() >= p_no_object
         # p_two_objects == 0 must not consume a draw: the r3 128^2 dataset

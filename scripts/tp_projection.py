@@ -1,9 +1,28 @@
-"""Analytic TP-latency projection for the v5e-4 target (BASELINE.md: 50-step
-512^2 edit < 1.5 s). Multi-chip hardware is not reachable from this
-environment, so this script computes — from the real model configs — the
-per-step collective volume under the Megatron specs in parallel/mesh.py and
-projects the 4-chip edit time from the MEASURED single-chip numbers
-(PERF_NOTES.md: per-step 70.9 ms, fixed 190 ms).
+"""TP-latency projection for the v5e-4 target (BASELINE.md: 50-step 512^2
+edit < 1.5 s). Multi-chip hardware is not reachable from this environment;
+this script projects the 4-chip edit time from measured single-chip numbers
+plus the per-step collective payload — by default the ANALYTIC Megatron-spec
+count, or (``--audit compile_audit.json``) the payload read off the COMPILED
+sharded program's denoise while-body (scripts/compile_audit_run.py, VERDICT
+r4 Next #1: compiler output instead of spreadsheet inputs).
+
+Fixed-cost term (VERDICT r4 Next #6 — re-derived from the round-4
+dissection, PERF_NOTES "Fixed cost, round 4" / bench_fixed_tail.py):
+
+  * device-side fixed is ~12 ms (both VAE halves run in-graph); the VAE is
+    conv work that shards over the model axis like the UNet, projected at
+    75% scaling efficiency (small spatial shapes at the bottleneck);
+  * host prep (PIL decode, splat, asarray, enqueue) ~21 ms — unchanged by
+    chip count;
+  * dispatch + wire: through THIS round's tunnel, RTT ~28 ms + input wire
+    ~30-45 ms + uint8 output fetch ~41 ms (~99-114 ms that exist only on
+    the tunnel); a directly-attached v5e host pays <2 ms PCIe for the same
+    1.8 MB in / 0.79 MB out plus ~3 ms dispatch.
+
+  So: fixed_direct(m) = 21 + 3 + 2 + 12/(0.75*m)   [~30 ms at m=4]
+      fixed_tunnel(m) = fixed_direct(m) + 99..114  [~130-145 ms at m=4]
+  Both columns are printed; the v5e-4 production claim uses fixed_direct,
+  the number reproducible from this environment uses fixed_tunnel.
 
 Communication model (parallel/mesh.py:47-67):
   * transformer blocks: column-parallel to_q/k/v + ff.proj_in, row-parallel
@@ -15,21 +34,38 @@ Communication model (parallel/mesh.py:47-67):
     up/down-samplers, shortcut 1x1s) are counted as 1 all-reduce each.
   * ring all-reduce wire cost per chip: 2 * (m-1)/m * bytes / ici_bw.
 
-Run: python scripts/tp_projection.py
+Run: python scripts/tp_projection.py [--audit compile_audit.json]
 """
 
+import argparse
 import dataclasses
+import json
 
 BYTES = 2            # bf16 activations
 STEPS = 50
 H, W = 64, 128       # 512^2 latent, double-width layout
 PER_STEP_MS = 70.9   # measured, PERF_NOTES "Where one step goes"
-FIXED_MS = 190.0     # measured fixed cost (VAE enc/dec, dispatch, fetch)
+
+# fixed-cost components, measured (PERF_NOTES "Fixed cost, round 4")
+HOST_PREP_MS = 21.0      # PIL/splat/asarray/enqueue — host, chip-count-free
+DISPATCH_MS = 3.0        # directly-attached launch overhead
+PCIE_WIRE_MS = 2.0       # 1.8 MB in + 0.79 MB out over PCIe
+DEVICE_VAE_MS = 12.0     # encode x2 + decode, in-graph trace op time
+VAE_TP_EFF = 0.75        # conv model-sharding efficiency at VAE shapes
+TUNNEL_EXTRA_MS = (99.0, 114.0)   # RTT + input wire + output fetch range
+
 # v5e ICI: 1600 Gbit/s aggregate per chip (Google spec). A 2x2 slice runs
 # two simultaneous bidirectional rings; conservative effective all-reduce
 # bus bandwidth per chip:
 ICI_GBPS = {"conservative (1 ring, 45 GB/s)": 45e9,
             "typical (2 rings, 90 GB/s)": 90e9}
+
+
+def fixed_ms(m: int):
+    """(directly-attached, tunnel-low, tunnel-high) fixed cost at model=m."""
+    direct = (HOST_PREP_MS + DISPATCH_MS + PCIE_WIRE_MS
+              + DEVICE_VAE_MS / (VAE_TP_EFF * m))
+    return direct, direct + TUNNEL_EXTRA_MS[0], direct + TUNNEL_EXTRA_MS[1]
 
 
 @dataclasses.dataclass
@@ -84,41 +120,91 @@ def collective_bytes(net: Net):
     return ar_bytes, counts
 
 
-def main():
+def analytic_payload():
     total = 0.0
-    all_counts = {}
     for net in (Net("UNet (CFG batch 2)", batch=2),
                 Net("BlobNet (batch 1)", batch=1)):
         b, counts = collective_bytes(net)
         total += b
-        all_counts[net.name] = (b, counts)
         n_ar = sum(counts.values())
         print(f"{net.name}: {b / 1e6:.1f} MB/step over {n_ar} all-reduces "
               f"({counts})")
-    print(f"TOTAL all-reduce payload: {total / 1e6:.1f} MB/step, "
-          f"{total * STEPS / 1e9:.2f} GB per 50-step edit")
+    return total
 
+
+def audited_payload(audit_path: str, recipe: str):
+    """Per-step collective payload from the COMPILED program's denoise
+    while-body (compile_audit_run.py report). The virtual-mesh audit
+    compiles on the CPU backend; collectives whose HLO dtype is f32 there
+    lower as bf16 on TPU (the graph's compute dtype) — the report records
+    raw HLO bytes, so we halve f32 entries to project the TPU wire cost."""
+    with open(audit_path) as f:
+        rep = json.load(f)[recipe]
+    body = rep["while_body"]
+    raw = body["bytes"]
+    bf16 = 0
+    for e in rep.get("while_body_top_shapes", []):
+        scale = 0.5 if e["shape"].startswith("f32") else 1.0
+        bf16 += e["bytes"] * scale
+    covered = sum(e["bytes"] for e in rep.get("while_body_top_shapes", []))
+    # top_shapes covers the top-25 (op, shape) buckets; scale the remainder
+    # by the covered mix
+    if covered and covered < raw:
+        bf16 *= raw / covered
+    print(f"[audit {recipe}] while-body ({body['computation']}): "
+          f"{body['count']} collectives, raw HLO {raw / 1e9:.2f} GB/step "
+          f"-> bf16-projected {bf16 / 1e9:.2f} GB/step; "
+          f"ops {body['ops']}")
+    return bf16, rep
+
+
+def project(total_bytes: float, label: str):
+    print(f"\nTOTAL all-reduce payload [{label}]: {total_bytes / 1e6:.0f} "
+          f"MB/step, {total_bytes * STEPS / 1e9:.2f} GB per 50-step edit")
     for m in (2, 4):
         ring = 2 * (m - 1) / m
-        wire = total * ring
-        print(f"\n== model={m} ==")
+        wire = total_bytes * ring
+        fx_direct, fx_tun_lo, fx_tun_hi = fixed_ms(m)
+        print(f"\n== model={m} ==  fixed: direct {fx_direct:.0f} ms, "
+              f"tunnel {fx_tun_lo:.0f}-{fx_tun_hi:.0f} ms")
         compute_ms = PER_STEP_MS / m
-        for label, bw in ICI_GBPS.items():
+        for blabel, bw in ICI_GBPS.items():
             comm_ms = wire / bw * 1e3
-            # no overlap (worst case) and 50% overlap (XLA typically hides
-            # part of the collectives behind the next layer's compute)
-            step_worst = compute_ms + comm_ms
-            step_half = compute_ms + 0.5 * comm_ms
-            for tag, step_ms in (("no overlap", step_worst),
-                                 ("50% overlap", step_half)):
-                edit_s = (STEPS * step_ms + FIXED_MS) / 1e3
-                print(f"  ICI {label:<32} {tag:<12} step {step_ms:6.2f} ms "
-                      f"-> edit {edit_s:.2f} s "
-                      f"{'< 1.5 TARGET MET' if edit_s < 1.5 else '>= 1.5'}")
+            for tag, step_ms in (("no overlap", compute_ms + comm_ms),
+                                 ("50% overlap", compute_ms + 0.5 * comm_ms)):
+                ed = (STEPS * step_ms + fx_direct) / 1e3
+                et = (STEPS * step_ms + fx_tun_hi) / 1e3
+                print(f"  ICI {blabel:<32} {tag:<12} step {step_ms:6.2f} ms "
+                      f"-> edit direct {ed:.2f} s"
+                      f"{' < 1.5 TARGET MET' if ed < 1.5 else ''} | "
+                      f"tunnel {et:.2f} s")
         print(f"  (compute {compute_ms:.1f} ms/step, wire "
-              f"{wire / 1e6:.0f} MB/step at ring factor {ring:.2f}; fixed "
-              f"{FIXED_MS:.0f} ms assumed unchanged — conservative: the VAE "
-              f"convs also shard)")
+              f"{wire / 1e6:.0f} MB/step at ring factor {ring:.2f}; fixed = "
+              f"host {HOST_PREP_MS:.0f} + dispatch {DISPATCH_MS:.0f} + wire "
+              f"{PCIE_WIRE_MS:.0f} + VAE {DEVICE_VAE_MS:.0f}/"
+              f"({VAE_TP_EFF}*{m}) ms, + tunnel RTT/fetch for the tunnel "
+              f"column)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--audit", default=None,
+                    help="compile_audit_run.py JSON; uses the compiled "
+                         "while-body payload instead of the analytic count")
+    ap.add_argument("--recipe", default="tp", choices=("tp", "hybrid"))
+    args = ap.parse_args()
+
+    analytic = analytic_payload()
+    if args.audit:
+        audited, _ = audited_payload(args.audit, args.recipe)
+        print(f"\nanalytic {analytic / 1e6:.0f} MB/step vs audited "
+              f"{audited / 1e6:.0f} MB/step "
+              f"(x{audited / analytic:.2f}; the compiled program includes "
+              f"reshard all-gathers and f32 stat reductions the Megatron "
+              f"count omits)")
+        project(audited, f"compiled while-body, {args.recipe}")
+    else:
+        project(analytic, "analytic Megatron count")
 
 
 if __name__ == "__main__":
