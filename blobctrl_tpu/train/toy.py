@@ -31,6 +31,7 @@ tests/test_toy_quality_gate.py replays edits against it.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Dict, List, Optional, Tuple
@@ -353,17 +354,23 @@ def train_toy_vae(images_u8: np.ndarray, vae_cfg, steps: int = 1500,
     x_all = jnp.asarray(images_u8)
     n = len(images_u8)
 
-    def one_step(carry, xs):
+    # remat the encoder/decoder: at 256^2 batch 64 the un-rematerialized
+    # VAE backward wants ~18 GB of saved conv activations (> the 15.75 GB
+    # v5e HBM, compile-time OOM); checkpointing recomputes them segment-wise
+    enc_ckpt = jax.checkpoint(lambda p, x: vae_lib.encode(p, vae_cfg, x))
+    dec_ckpt = jax.checkpoint(lambda p, z: vae_lib.decode(p, vae_cfg, z))
+
+    def one_step(x_data, carry, xs):
         params, opt_state = carry
         idx, key = xs
-        x = jnp.take(x_all, idx, axis=0).astype(jnp.float32) / 127.5 - 1.0
+        x = jnp.take(x_data, idx, axis=0).astype(jnp.float32) / 127.5 - 1.0
 
         def loss_fn(p):
-            moments = vae_lib.encode(p, vae_cfg, x)
+            moments = enc_ckpt(p, x)
             mean, logvar = jnp.split(moments, 2, axis=-1)
             logvar = jnp.clip(logvar, -30.0, 20.0)
             z = vae_lib.sample_latents(moments, key)
-            rec = vae_lib.decode(p, vae_cfg, z)
+            rec = dec_ckpt(p, z)
             mse = jnp.mean(jnp.square(rec - x))
             kl = 0.5 * jnp.mean(jnp.square(mean) + jnp.exp(logvar)
                                 - 1.0 - logvar)
@@ -378,10 +385,15 @@ def train_toy_vae(images_u8: np.ndarray, vae_cfg, steps: int = 1500,
     # chunk on device
     chunk = min(100, steps)
 
+    # x_all rides as a jit ARGUMENT, not a closure: a closed-over device
+    # array lowers as an HLO constant, and at 256^2 the 800 MB dataset
+    # literal overflows the axon tunnel's remote-compile request body
+    # (HTTP 413) — as an argument it stays device-resident across calls
     @jax.jit
-    def run_chunk(params, opt_state, idxs, keys):
+    def run_chunk(params, opt_state, x_data, idxs, keys):
         (params, opt_state), mses = jax.lax.scan(
-            one_step, (params, opt_state), (idxs, keys))
+            functools.partial(one_step, x_data), (params, opt_state),
+            (idxs, keys))
         return params, opt_state, mses[-1]
 
     rng = np.random.RandomState(seed)
@@ -392,7 +404,8 @@ def train_toy_vae(images_u8: np.ndarray, vae_cfg, steps: int = 1500,
         idxs = jnp.asarray(rng.randint(0, n, (k, batch)), jnp.int32)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, k)
-        params, opt_state, mse = run_chunk(params, opt_state, idxs, keys)
+        params, opt_state, mse = run_chunk(params, opt_state, x_all, idxs,
+                                           keys)
         done += k
         if log_every and done % log_every < chunk:
             print(f"vae step {done}/{steps} mse {float(mse):.5f}", flush=True)

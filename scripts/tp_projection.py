@@ -132,38 +132,65 @@ def analytic_payload():
     return total
 
 
+# per-chip ring wire factor per collective kind on an m-chip ring:
+#   all-reduce     2(m-1)/m   (reduce-scatter + all-gather phases)
+#   all-gather     (m-1)/m
+#   reduce-scatter (m-1)/m
+#   all-to-all     (m-1)/m    (each chip ships all but its own shard)
+#   collective-permute 1      (point-to-point; on the CPU backend these are
+#                              the partitioner's *implementation* of the
+#                              reductions above — double counting — so CPU
+#                              audits are upper bounds; the --topology v5e
+#                              audit has the real lowering)
+_RING = {"all-reduce": lambda m: 2 * (m - 1) / m,
+         "all-gather": lambda m: (m - 1) / m,
+         "reduce-scatter": lambda m: (m - 1) / m,
+         "all-to-all": lambda m: (m - 1) / m,
+         "collective-permute": lambda m: 1.0}
+
+
 def audited_payload(audit_path: str, recipe: str):
-    """Per-step collective payload from the COMPILED program's denoise
-    while-body (compile_audit_run.py report). The virtual-mesh audit
-    compiles on the CPU backend; collectives whose HLO dtype is f32 there
-    lower as bf16 on TPU (the graph's compute dtype) — the report records
-    raw HLO bytes, so we halve f32 entries to project the TPU wire cost."""
+    """Per-step per-op collective payloads from the COMPILED program's
+    denoise while-body (compile_audit_run.py report). Dtype handling: the
+    virtual-mesh audit compiles on the CPU backend whose HLO carries f32
+    where the TPU graph runs bf16 — f32 payload entries are halved; a
+    --topology v5e audit records real bf16 shapes (no scaling)."""
     with open(audit_path) as f:
         rep = json.load(f)[recipe]
     body = rep["while_body"]
     raw = body["bytes"]
-    bf16 = 0
-    for e in rep.get("while_body_top_shapes", []):
-        scale = 0.5 if e["shape"].startswith("f32") else 1.0
-        bf16 += e["bytes"] * scale
-    covered = sum(e["bytes"] for e in rep.get("while_body_top_shapes", []))
-    # top_shapes covers the top-25 (op, shape) buckets; scale the remainder
-    # by the covered mix
-    if covered and covered < raw:
-        bf16 *= raw / covered
+    # dtype scale estimated from the shape histogram's f32 fraction
+    top = rep.get("while_body_top_shapes", [])
+    covered = sum(e["bytes"] for e in top)
+    f32_frac = (sum(e["bytes"] for e in top if e["shape"].startswith("f32"))
+                / covered if covered else 0.0)
+    scale = 1.0 - 0.5 * f32_frac
+    by_op = {op: st["bytes"] * scale for op, st in body["ops"].items()}
     print(f"[audit {recipe}] while-body ({body['computation']}): "
-          f"{body['count']} collectives, raw HLO {raw / 1e9:.2f} GB/step "
-          f"-> bf16-projected {bf16 / 1e9:.2f} GB/step; "
-          f"ops {body['ops']}")
-    return bf16, rep
+          f"{body['count']} collectives, raw HLO {raw / 1e9:.2f} GB/step, "
+          f"f32 fraction {f32_frac:.0%} -> wire-dtype "
+          f"{sum(by_op.values()) / 1e9:.2f} GB/step; per-op "
+          f"{ {k: round(v / 1e6) for k, v in by_op.items()} } MB")
+    return by_op, rep
 
 
-def project(total_bytes: float, label: str):
-    print(f"\nTOTAL all-reduce payload [{label}]: {total_bytes / 1e6:.0f} "
+def wire_bytes(payload, m: int) -> float:
+    """Effective per-chip wire bytes for a payload: a float (treated as
+    all-reduce, the analytic mode) or a per-op dict (audited mode)."""
+    if isinstance(payload, dict):
+        return sum(_RING.get(op, _RING["all-reduce"])(m) * b
+                   for op, b in payload.items())
+    return _RING["all-reduce"](m) * payload
+
+
+def project(payload, label: str):
+    total_bytes = (sum(payload.values()) if isinstance(payload, dict)
+                   else payload)
+    print(f"\nTOTAL collective payload [{label}]: {total_bytes / 1e6:.0f} "
           f"MB/step, {total_bytes * STEPS / 1e9:.2f} GB per 50-step edit")
     for m in (2, 4):
-        ring = 2 * (m - 1) / m
-        wire = total_bytes * ring
+        wire = wire_bytes(payload, m)
+        ring = wire / max(total_bytes, 1.0)
         fx_direct, fx_tun_lo, fx_tun_hi = fixed_ms(m)
         print(f"\n== model={m} ==  fixed: direct {fx_direct:.0f} ms, "
               f"tunnel {fx_tun_lo:.0f}-{fx_tun_hi:.0f} ms")
@@ -197,11 +224,11 @@ def main():
     analytic = analytic_payload()
     if args.audit:
         audited, _ = audited_payload(args.audit, args.recipe)
+        tot = sum(audited.values())
         print(f"\nanalytic {analytic / 1e6:.0f} MB/step vs audited "
-              f"{audited / 1e6:.0f} MB/step "
-              f"(x{audited / analytic:.2f}; the compiled program includes "
-              f"reshard all-gathers and f32 stat reductions the Megatron "
-              f"count omits)")
+              f"{tot / 1e6:.0f} MB/step "
+              f"(x{tot / analytic:.2f}; the compiler trades some Megatron "
+              f"all-reduces for reshard all-gathers/all-to-alls)")
         project(audited, f"compiled while-body, {args.recipe}")
     else:
         project(analytic, "analytic Megatron count")

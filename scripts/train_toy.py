@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--vae_steps", type=int, default=1500)
     ap.add_argument("--diff_steps", type=int, default=8000)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--vae_batch", type=int, default=None,
+                    help="VAE-phase batch (default --batch); the VAE "
+                         "backward is the memory peak at 256^2")
     ap.add_argument("--p_two_objects", type=float, default=0.0,
                     help="fraction of 2-object (multi-blob) scenes")
     ap.add_argument("--seed", type=int, default=0)
@@ -50,8 +53,8 @@ def main():
 
     print("training VAE...", flush=True)
     vae_params, vae_cfg, vae_mse = toy.train_toy_vae(
-        data["image"], vae_cfg, steps=args.vae_steps, batch=args.batch,
-        seed=args.seed)
+        data["image"], vae_cfg, steps=args.vae_steps,
+        batch=args.vae_batch or args.batch, seed=args.seed)
     print(f"vae done: mse {vae_mse:.5f} "
           f"scaling {vae_cfg.scaling_factor:.3f}", flush=True)
 
