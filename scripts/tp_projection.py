@@ -213,6 +213,32 @@ def project(payload, label: str):
               f"column)")
 
 
+def project_hybrid(payload):
+    """CFG-data(2) x model(2) mesh: per-chip compute is PER_STEP/4 (each
+    chip runs one CFG half under model=2), but every collective rides a
+    2-chip ring (either axis), so the audited per-op payloads price at
+    m=2 factors. VAE fixed term shards at model=2 (decode is batch 1 —
+    the CFG-data axis cannot help it)."""
+    wire = wire_bytes(payload, 2)
+    compute_ms = PER_STEP_MS / 4
+    fx_direct, fx_tun_lo, fx_tun_hi = fixed_ms(2)
+    total = sum(payload.values())
+    print(f"\n== hybrid CFG-data(2) x model(2) ==  payload "
+          f"{total / 1e6:.0f} MB/step, wire {wire / 1e6:.0f} MB/step at "
+          f"2-chip ring factors; fixed: direct {fx_direct:.0f} ms, tunnel "
+          f"{fx_tun_lo:.0f}-{fx_tun_hi:.0f} ms")
+    for blabel, bw in ICI_GBPS.items():
+        comm_ms = wire / bw * 1e3
+        for tag, step_ms in (("no overlap", compute_ms + comm_ms),
+                             ("50% overlap", compute_ms + 0.5 * comm_ms)):
+            ed = (STEPS * step_ms + fx_direct) / 1e3
+            et = (STEPS * step_ms + fx_tun_hi) / 1e3
+            print(f"  ICI {blabel:<32} {tag:<12} step {step_ms:6.2f} ms "
+                  f"-> edit direct {ed:.2f} s"
+                  f"{' < 1.5 TARGET MET' if ed < 1.5 else ''} | "
+                  f"tunnel {et:.2f} s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--audit", default=None,
@@ -229,7 +255,10 @@ def main():
               f"{tot / 1e6:.0f} MB/step "
               f"(x{tot / analytic:.2f}; the compiler trades some Megatron "
               f"all-reduces for reshard all-gathers/all-to-alls)")
-        project(audited, f"compiled while-body, {args.recipe}")
+        if args.recipe == "hybrid":
+            project_hybrid(audited)
+        else:
+            project(audited, f"compiled while-body, {args.recipe}")
     else:
         project(analytic, "analytic Megatron count")
 
