@@ -17,6 +17,20 @@ from blobctrl_tpu.nn import layers, attention
 
 Array = jax.Array
 
+# Route GroupNorm -> proj_in through the fused Pallas kernel
+# (ops/gn_matmul.gn_proj). Measured on v5e (scripts/bench_gn_proj.py,
+# chained-loop): proj_in fusion wins ~1.15x on a ~0.14 ms/pass bucket —
+# below e2e noise — and the proj_out residual-epilogue variant LOSES
+# (0.34x: streaming the residual through the kernel costs more than XLA's
+# fused epilogue). Default OFF; kept as the measured answer to the r4
+# verdict lever ("Mosaic epilogue fusion of Transformer2D 1x1 proj_in/out").
+_GN_PROJ_FUSE = False
+
+
+def set_gn_proj_fuse(flag: bool):
+    global _GN_PROJ_FUSE
+    _GN_PROJ_FUSE = bool(flag)
+
 
 def init_transformer_2d(key, channels: int, heads: int, num_layers: int,
                         cross_dim: Optional[int], norm_groups: int = 32):
@@ -37,8 +51,14 @@ def transformer_2d(params, x: Array, heads: int,
                    norm_groups: int = 32) -> Array:
     n, h, w, c = x.shape
     residual = x
-    x = layers.group_norm(params["norm"], x, norm_groups, eps=1e-6)
-    x = layers.conv2d(params["proj_in"], x)
+    if _GN_PROJ_FUSE:
+        from blobctrl_tpu.ops import gn_matmul
+        x = gn_matmul.gn_proj(x, params["norm"], params["proj_in"],
+                              groups=norm_groups, eps=1e-6,
+                              interpret=jax.default_backend() == "cpu")
+    else:
+        x = layers.group_norm(params["norm"], x, norm_groups, eps=1e-6)
+        x = layers.conv2d(params["proj_in"], x)
     x = x.reshape(n, h * w, c)
     for block in params["blocks"]:
         x = attention.transformer_block(block, x, heads, context=context)

@@ -18,10 +18,12 @@ roofline) and are folded host-of-kernel into s[b,c] = rstd*gamma,
 t[b,c] = beta - mean*rstd*gamma; the kernel computes (x*s+t) @ W + bias
 [+ residual].
 
-Status: measured NEUTRAL at the production shapes (scripts/bench_gn_proj.py,
-PERF_NOTES r5) — XLA already fuses the normalize-apply into its matmul, so
-the kernel only re-tiles the same traffic. Default OFF; kept as the measured
-A/B answer to the r4 verdict lever.
+Status (measured on v5e, scripts/bench_gn_proj.py, chained-loop A/B):
+proj_in fusion ~1.15x on a ~0.14 ms/pass bucket — real but below e2e noise
+(~0.1% of the edit); the proj_out residual-epilogue variant LOSES (0.34x —
+streaming the residual through the kernel costs more than XLA's own fused
+epilogue). Default OFF (`nn.transformer_2d.set_gn_proj_fuse`); kept as the
+measured A/B answer to the r4 verdict lever.
 """
 
 from __future__ import annotations
@@ -60,14 +62,19 @@ def gn_affine(x: Array, norm_params, num_groups: int, eps: float):
 
 
 def _affine_matmul_kernel(x_ref, s_ref, t_ref, w_ref, wb_ref, o_ref, xn_ref,
-                          *, affine: bool):
+                          *, affine: bool, blocks_per_b: int):
     i_n = pl.program_id(1)
+    # s/t ride whole (B, C) — tiny — and the batch row is selected in-kernel
+    # (a (1, C) sub-block per batch element is not a legal Mosaic tile;
+    # whole-array + dynamic row select is). program_id stays at kernel top:
+    # the interpreter can't emulate it inside a pl.when body.
+    b = pl.program_id(0) // blocks_per_b
 
     @pl.when(i_n == 0)
     def _apply():
         xf = x_ref[:].astype(jnp.float32)
         if affine:
-            xf = xf * s_ref[0] + t_ref[0]
+            xf = (xf * s_ref[pl.ds(b, 1), :] + t_ref[pl.ds(b, 1), :])
         xn_ref[:] = xf.astype(xn_ref.dtype)
 
     acc = jax.lax.dot_general(xn_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
@@ -76,14 +83,16 @@ def _affine_matmul_kernel(x_ref, s_ref, t_ref, w_ref, wb_ref, o_ref, xn_ref,
 
 
 def _affine_matmul_res_kernel(x_ref, s_ref, t_ref, w_ref, wb_ref, r_ref,
-                              o_ref, xn_ref, *, affine: bool):
+                              o_ref, xn_ref, *, affine: bool,
+                              blocks_per_b: int):
     i_n = pl.program_id(1)
+    b = pl.program_id(0) // blocks_per_b
 
     @pl.when(i_n == 0)
     def _apply():
         xf = x_ref[:].astype(jnp.float32)
         if affine:
-            xf = xf * s_ref[0] + t_ref[0]
+            xf = (xf * s_ref[pl.ds(b, 1), :] + t_ref[pl.ds(b, 1), :])
         xn_ref[:] = xf.astype(xn_ref.dtype)
 
     acc = jax.lax.dot_general(xn_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
@@ -134,7 +143,7 @@ def gn_proj(x: Array, norm_params, conv_params, groups: int = 32,
     grid = (b * blocks_per_b, np_ // bn)
     x_spec = pl.BlockSpec((bm, c), lambda im, i_n: (im, 0),
                           memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((1, c), lambda im, i_n: (im // blocks_per_b, 0),
+    st_spec = pl.BlockSpec((b, c), lambda im, i_n: (0, 0),
                            memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((c, bn), lambda im, i_n: (0, i_n),
                           memory_space=pltpu.VMEM)
@@ -160,7 +169,8 @@ def gn_proj(x: Array, norm_params, conv_params, groups: int = 32,
             wb.reshape(1, np_))
     if residual is None:
         out = pl.pallas_call(
-            functools.partial(_affine_matmul_kernel, affine=True),
+            functools.partial(_affine_matmul_kernel, affine=True,
+                              blocks_per_b=blocks_per_b),
             in_specs=[x_spec, st_spec, st_spec, w_spec, wb_spec],
             **common)(*args)
     else:
@@ -169,7 +179,8 @@ def gn_proj(x: Array, norm_params, conv_params, groups: int = 32,
         if np_ != n:
             rf = jnp.pad(rf, ((0, 0), (0, np_ - n)))
         out = pl.pallas_call(
-            functools.partial(_affine_matmul_res_kernel, affine=True),
+            functools.partial(_affine_matmul_res_kernel, affine=True,
+                              blocks_per_b=blocks_per_b),
             in_specs=[x_spec, st_spec, st_spec, w_spec, wb_spec, o_spec],
             **common)(*args, rf)
     return out[:, :n].reshape(b, h, w_sp, n)
@@ -209,14 +220,15 @@ def matmul_residual(x: Array, conv_params, residual: Array,
 
     dummy = jnp.zeros((b, c), jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_affine_matmul_res_kernel, affine=False),
+        functools.partial(_affine_matmul_res_kernel, affine=False,
+                          blocks_per_b=blocks_per_b),
         grid=(b * blocks_per_b, np_ // bn),
         in_specs=[
             pl.BlockSpec((bm, c), lambda im, i_n: (im, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda im, i_n: (im // blocks_per_b, 0),
+            pl.BlockSpec((b, c), lambda im, i_n: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda im, i_n: (im // blocks_per_b, 0),
+            pl.BlockSpec((b, c), lambda im, i_n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, bn), lambda im, i_n: (0, i_n),
                          memory_space=pltpu.VMEM),

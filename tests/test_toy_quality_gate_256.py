@@ -75,12 +75,21 @@ def test_trained_compose_two_blobs(setup):
     weights)."""
     pipe, size, _, _, _, _ = setup
     rng = np.random.RandomState(20_000)
-    scene = toy.make_scene(rng, size, n_objects=2)
-    assert len(scene["objects"]) == 2
+    # a big-enough move target clear of BOTH objects does not always exist
+    # for a given draw (the clearance check is bounding-circle conservative);
+    # deterministically retry scenes until one admits a target
+    scene = tgt = None
+    for _ in range(50):
+        cand = toy.make_scene(rng, size, n_objects=2)
+        if len(cand["objects"]) != 2:
+            continue
+        t = toy._distractor_ellipse(
+            rng, size, [o["ellipse"] for o in cand["objects"]])
+        if t is not None:
+            scene, tgt = cand, t
+            break
+    assert scene is not None and tgt is not None
     o0, o1 = scene["objects"]
-    tgt = toy._distractor_ellipse(rng, size,
-                                  [o["ellipse"] for o in scene["objects"]])
-    assert tgt is not None
     kw = toy.compose_kwargs(scene, tgt, size=size, steps=20)
     out = pipe(**kw).images[0]
     err0 = toy.color_error_inside(out, tgt, o0["cls"], size)
@@ -95,17 +104,27 @@ def test_trained_compose_two_blobs(setup):
 @pytest.mark.parametrize("mode_kwargs", [
     dict(encoder_cache_interval=3, encoder_cache_warmup=5),
     dict(cfg_guidance_start=0.15, cfg_guidance_end=0.75),
-    dict(encoder_cache_interval=3, encoder_cache_warmup=5,
-         cfg_guidance_start=0.15, cfg_guidance_end=0.75),
-], ids=["encoder_cache", "cfg_interval", "stacked"])
+], ids=["encoder_cache", "cfg_interval"])
 def test_lossy_mode_drift_trained_256(setup, mode_kwargs):
-    """Every CPU-testable lossy mode (plus the stacked combo) stays close
-    to the exact path AND still lands the edit."""
+    """Every CPU-testable lossy mode stays close to the exact path AND
+    still lands the edit. The production stacked combo (int8 + cache) needs
+    the Mosaic kernels — its 256² PSNR (45.4 dB) is measured on TPU by
+    scripts/toy_quality_gate.py (PERF_NOTES 256² table)."""
     pipe, size, scene, target, kw, exact = setup
     out = pipe(**mode_kwargs, **kw).images[0]
     assert toy.psnr(exact, out) > 27.0, toy.psnr(exact, out)
     err = toy.color_error_inside(out, target, scene["cls"], size)
     assert err < 0.06, err
+
+
+def test_cache_plus_cfg_interval_rejected(setup):
+    """encoder-cache cannot stack with guidance-interval CFG (the cached
+    encoder state carries the CFG batch dim that cond-only steps drop) —
+    the pipeline must refuse loudly, not silently produce garbage."""
+    pipe, _, _, _, kw, _ = setup
+    with pytest.raises(ValueError, match="cannot be combined"):
+        pipe(encoder_cache_interval=3, encoder_cache_warmup=5,
+             cfg_guidance_start=0.15, cfg_guidance_end=0.75, **kw)
 
 
 def test_sde_scheduler_trained_256(setup):
@@ -121,27 +140,32 @@ def test_sde_scheduler_trained_256(setup):
     assert src > 0.1, src
 
 
-def test_preview_projection_trained_256(setup):
-    """The serving preview (latent -> approx RGB projection) of the FINAL
-    step must agree with the decoded image about where the object is —
-    gates the preview path on trained weights."""
+def test_preview_latents_decode_to_final_image_256(setup):
+    """The serving-preview MECHANISM on trained 256² weights: the latents
+    the step callback ships at the final step are the ones the pipeline
+    decodes — VAE-decoding them reproduces the returned image. (The fixed
+    latent->RGB color factors themselves are an SD-1.5-latent-basis
+    convention — pipeline/preview.py — and carry no meaning for a
+    from-scratch toy VAE, so colorimetry is not gated here; the projection
+    still must run and produce a full-range uint8 thumbnail.)"""
     pipe, size, scene, target, kw, exact = setup
+    from blobctrl_tpu.models import vae as vae_lib
     from blobctrl_tpu.pipeline import preview as preview_lib
     grabbed = {}
 
     def cb(pipe_self, i, t, ck):
-        grabbed["latents"] = np.asarray(ck["latents"])
+        # delivery order of debug callbacks is unspecified — key by step
+        grabbed[int(i)] = np.asarray(ck["latents"])
         return {}
 
-    pipe(callback_on_step_end=cb, **kw)
-    assert "latents" in grabbed
-    rgb = preview_lib.latent_to_rgb(grabbed["latents"], upscale=8)[0]
-    # coarse agreement: the preview's target-region mean color is closer to
-    # the class color than the background's
-    from blobctrl_tpu.blob import viz as viz_lib
-    m = viz_lib.ellipse_mask(target, size, size) > 127
-    color = np.asarray(toy.COLORS[scene["cls"]][1], np.float32) / 255.0
-    rgb01 = rgb.astype(np.float32) / 255.0
-    inside = np.abs(rgb01[m].mean(0) - color).mean()
-    outside = np.abs(rgb01[~m].mean(0) - color).mean()
-    assert inside < outside, (inside, outside)
+    out = pipe(callback_on_step_end=cb, **kw).images[0]
+    assert grabbed
+    final = grabbed[max(grabbed)]
+    dec = np.asarray(vae_lib.decode_from_scaled_latents(
+        pipe.vae_params, pipe.vae_cfg, final))[0]
+    dec01 = np.clip(dec / 2 + 0.5, 0, 1)
+    assert toy.psnr(out, dec01.astype(np.float32)) > 40.0
+
+    rgb = preview_lib.latent_to_rgb(final, upscale=8)[0]
+    assert rgb.shape == (size, size, 3) and rgb.dtype == np.uint8
+    assert rgb.std() > 1.0  # a real thumbnail, not a constant field
